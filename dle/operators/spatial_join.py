@@ -1,0 +1,161 @@
+"""Cell-indexed spatial joins — the engine's core physical recipe.
+
+Reference semantics: every overlay in bcgov/designatedlands runs as a
+per-tile GIST-accelerated ``ST_Intersects`` join
+(/root/reference/designatedlands.py:145-157, sql/tile.sql:52). The
+Spark-native recipe (SURVEY.md §2 E1/E2/A10) is a TWO-PHASE join:
+
+  1. **cell phase** (JVM, whole-stage codegen): both sides get quadkey
+     cell ids — points via ``cell_of(point)``, extended geometries via
+     ``explode(cover_cells(geom))`` — then an equi-join on ``cell``.
+     Catalyst broadcasts the small side; otherwise it's a shuffle join
+     partitioned by cell, with AQE skew-split for hot coastal cells.
+  2. **refine phase**: the exact geometric predicate. For axis-aligned
+     rectangles this is a plain column comparison (stays in codegen);
+     for WKB polygons it is a vectorized numpy/shapely kernel in a
+     pandas UDF (geom.kernel).
+
+Dedupe discipline: a point lies in exactly one cell, so point-in-polygon
+pairs are emitted exactly once (no distinct needed). Rect-rect pairs can
+match in several cells; they are assigned to the ownership cell — the
+cell containing the intersection bbox's min corner — so each pair
+survives in exactly one task with NO extra shuffle (SURVEY §2 E1 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..cells import sql_cell_xy, sql_quadkey
+from ..config import GRID_SIZE, XMIN, YMIN
+
+
+def _cell_col(x_expr: str, y_expr: str, depth: int) -> Column:
+    cx, cy = sql_cell_xy(x_expr, y_expr, depth)
+    return F.expr(sql_quadkey(cx, cy, depth, "spark"))
+
+
+def with_point_cell(df: DataFrame, x: str, y: str, depth: int,
+                    out: str = "cell") -> DataFrame:
+    """Assign each point its quadkey cell (pure JVM expression)."""
+    return df.withColumn(out, _cell_col(x, y, depth))
+
+
+def explode_rect_cells(df: DataFrame, x0: str, y0: str, x1: str, y1: str,
+                       depth: int, out: str = "cell") -> DataFrame:
+    """One row per (feature, covering cell): `explode(cover_cells(bbox))`.
+
+    Mirrors the reference's tiling of every layer before joins
+    (/root/reference/sql/tile.sql:20-57) — but lazily, as plan columns,
+    not a materialized tile table.
+    """
+    res = GRID_SIZE / (1 << depth)
+    n = (1 << depth) - 1
+
+    def idx(v: str, origin: float) -> str:
+        return (f"least({n}, greatest(0, "
+                f"cast(floor((({v}) - {origin!r}) / {res!r}) as bigint)))")
+
+    df = (
+        df.withColumn("_cx0", F.expr(idx(x0, XMIN)))
+          .withColumn("_cx1", F.expr(idx(x1, XMIN)))
+          .withColumn("_cy0", F.expr(idx(y0, YMIN)))
+          .withColumn("_cy1", F.expr(idx(y1, YMIN)))
+          .withColumn("_cx", F.explode(F.expr("sequence(_cx0, _cx1)")))
+          .withColumn("_cy", F.explode(F.expr("sequence(_cy0, _cy1)")))
+          .withColumn(out, F.expr(sql_quadkey("_cx", "_cy", depth, "spark")))
+    )
+    return df.drop("_cx0", "_cx1", "_cy0", "_cy1")
+
+
+def pip_join_rects(points: DataFrame, rects: DataFrame, depth: int,
+                   px: str = "px", py: str = "py",
+                   broadcast_rects: bool = True) -> DataFrame:
+    """Point-in-rectangle spatial join (half-open [x0,x1) x [y0,y1)).
+
+    Returns points columns + rect columns for every containing rect.
+    `broadcast_rects=True` is the dimension-layer case (42 designation
+    layers vs 10^12 pages): the exploded rect side is broadcast so the
+    petabyte point side never shuffles.
+    """
+    r = explode_rect_cells(rects, "x0", "y0", "x1", "y1", depth)
+    if broadcast_rects:
+        r = F.broadcast(r)
+    p = with_point_cell(points, px, py, depth)
+    cond = (
+        (F.col(px) >= F.col("x0")) & (F.col(px) < F.col("x1"))
+        & (F.col(py) >= F.col("y0")) & (F.col(py) < F.col("y1"))
+    )
+    joined = p.join(r, "cell").where(cond).drop("_cx", "_cy")
+    return joined
+
+
+def rect_rect_join(a: DataFrame, b: DataFrame, depth: int,
+                   suffix: str = "_b",
+                   broadcast_b: bool = True) -> DataFrame:
+    """Rect-rect intersects join with cell-ownership dedupe.
+
+    The generic `intersect`/spatial-join primitive (SURVEY §2 A8/E1) on
+    the rectangle fast path. Each intersecting (a, b) pair is kept only
+    in the cell that owns the intersection bbox's min corner.
+    """
+    res = GRID_SIZE / (1 << depth)
+    n = (1 << depth) - 1
+    bc = [c for c in b.columns]
+    b2 = b.select([F.col(c).alias(c + suffix) for c in bc])
+    ae = explode_rect_cells(a, "x0", "y0", "x1", "y1", depth)
+    be = explode_rect_cells(
+        b2, f"x0{suffix}", f"y0{suffix}", f"x1{suffix}", f"y1{suffix}", depth)
+    if broadcast_b:
+        be = F.broadcast(be.drop("_cx", "_cy"))
+    j = ae.join(be, "cell")
+    ix0 = F.greatest("x0", f"x0{suffix}")
+    iy0 = F.greatest("y0", f"y0{suffix}")
+    overlap = (
+        (ix0 < F.least("x1", f"x1{suffix}"))
+        & (iy0 < F.least("y1", f"y1{suffix}"))
+    )
+    own_cx = F.expr(
+        f"least({n}, greatest(0, cast(floor((greatest(x0, x0{suffix})"
+        f" - {XMIN!r}) / {res!r}) as bigint)))")
+    own_cy = F.expr(
+        f"least({n}, greatest(0, cast(floor((greatest(y0, y0{suffix})"
+        f" - {YMIN!r}) / {res!r}) as bigint)))")
+    owned = (F.col("_cx") == own_cx) & (F.col("_cy") == own_cy)
+    return j.where(overlap & owned).drop("_cx", "_cy")
+
+
+def precedence_resolve(pairs: DataFrame, point_keys: list[str],
+                       order_col: str = "process_order",
+                       tiebreak: str = "feat_id",
+                       keep: list[str] | None = None) -> DataFrame:
+    """Designation-precedence overlay for points (SURVEY §2 A5 analogue).
+
+    The reference inserts layers in ascending process_order, so the part
+    of space already claimed is never overwritten
+    (/root/reference/sql/insert_difference.sql:16-127). For a point the
+    winning layer is therefore argmin (process_order, feat_id) over all
+    containing features. Implemented as a single map-side-combinable
+    `min(struct(...))` — no window, no second shuffle.
+    """
+    keep = keep or []
+    w = F.min(F.struct(order_col, tiebreak, *keep)).alias("_w")
+    out = pairs.groupBy(*point_keys).agg(w)
+    cols = [F.col(f"_w.{order_col}").alias(order_col),
+            F.col(f"_w.{tiebreak}").alias(tiebreak)]
+    cols += [F.col(f"_w.{k}").alias(k) for k in keep]
+    return out.select(*point_keys, *cols)
+
+
+def restriction_max(pairs: DataFrame, point_keys: list[str],
+                    cols: tuple[str, ...] = ("forest_restriction",
+                                             "og_restriction",
+                                             "mine_restriction"),
+                    ) -> DataFrame:
+    """Max restriction per point across ALL covering features — the
+    planarize `(sort_desc(array_agg(r)))[1]` semantics
+    (/root/reference/sql/create_designations_planarized.sql:87-89),
+    with COALESCE(.,0) for uncovered handled by the caller's outer join.
+    """
+    aggs = [F.max(c).alias(f"{c}_max") for c in cols]
+    return pairs.groupBy(*point_keys).agg(*aggs)

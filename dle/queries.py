@@ -1,0 +1,321 @@
+"""The engine's query surface: (spark, sf_dir) -> DataFrame callables
+plus their DuckDB oracle SQL twins.
+
+Every oracle-checked query follows the cross-engine determinism rules
+(see sqlgen.py): integral-double coordinates, md5 as the only string
+hash, integer aggregation before any division, explicit aliases on
+every computed column (the driver hash-compares by sorted column name).
+
+Engine callables go through the real operator path (cell explode /
+broadcast join / refine / map-side-combinable aggregation); oracles are
+the naive relational restatement DuckDB can run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import sqlgen
+from .cells import sql_point_cell, sql_quadkey
+from .config import DEFAULT_DEPTH, GRID_SIZE, XMIN, YMIN
+from .operators.spatial_join import (
+    explode_rect_cells, pip_join_rects, precedence_resolve,
+    restriction_max, with_point_cell,
+)
+from .sqlgen import BX0, BX1, BY0, BY1, preamble, register_tables
+
+D = DEFAULT_DEPTH
+
+
+def _points(spark: SparkSession, sf: str) -> DataFrame:
+    return sqlgen.spark_view(spark, sf, "points")
+
+
+def _layers(spark: SparkSession, sf: str) -> DataFrame:
+    return sqlgen.spark_view(spark, sf, "layers")
+
+
+def _pip_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """points x layers containment pairs via the two-phase cell join."""
+    pts = _points(spark, sf).select("page_id", "cand_i", "px", "py")
+    lay = _layers(spark, sf)
+    return pip_join_rects(pts, lay, D)
+
+
+# ------------------------------------------------------------ spatial
+
+def q_spatial_cell_assign(spark, sf):
+    """Tile/cell assignment of every geocoded page point (A3/A10)."""
+    pts = _points(spark, sf).select("page_id", "cand_i", "px", "py")
+    return with_point_cell(pts, "px", "py", D).select(
+        "page_id", "cand_i", "cell", "px", "py")
+
+
+def o_spatial_cell_assign():
+    cell = sql_point_cell("px", "py", D, "duckdb")
+    return (preamble("duckdb", layers=False)
+            + f" select page_id, cand_i, {cell} as cell, px, py from points")
+
+
+def q_spatial_pip_join(spark, sf):
+    """Point-in-polygon join pairs (E1/E2): one row per containing
+    feature per candidate point."""
+    return _pip_pairs(spark, sf).select(
+        "page_id", "cand_i", "feat_id", "designation", "process_order")
+
+
+def o_spatial_pip_join():
+    return (preamble("duckdb") + """
+ select p.page_id, p.cand_i, l.feat_id, l.designation, l.process_order
+ from points p join layers l
+   on p.px >= l.x0 and p.px < l.x1 and p.py >= l.y0 and p.py < l.y1""")
+
+
+def q_spatial_pip_precedence(spark, sf):
+    """Designation-precedence winner per point (A5 point semantics):
+    the containing layer with MIN process_order claims the point."""
+    pairs = _pip_pairs(spark, sf)
+    won = pairs.groupBy("page_id", "cand_i").agg(
+        F.min("process_order").alias("process_order"))
+    return won.select(
+        "page_id", "cand_i", "process_order",
+        F.concat(F.lit("desig_"),
+                 F.lpad(F.col("process_order").cast("string"), 2, "0")
+                 ).alias("designation"))
+
+
+def o_spatial_pip_precedence():
+    return (preamble("duckdb") + """
+ select p.page_id, p.cand_i,
+        min(l.process_order) as process_order,
+        concat('desig_', lpad(cast(min(l.process_order) as string), 2, '0'))
+          as designation
+ from points p join layers l
+   on p.px >= l.x0 and p.px < l.x1 and p.py >= l.y0 and p.py < l.y1
+ group by p.page_id, p.cand_i""")
+
+
+def q_spatial_restriction_max(spark, sf):
+    """Max restriction level per point across ALL covering layers — the
+    planarize (sort_desc(array_agg(r)))[1] semantics (F4)."""
+    return restriction_max(_pip_pairs(spark, sf), ["page_id", "cand_i"])
+
+
+def o_spatial_restriction_max():
+    return (preamble("duckdb") + """
+ select p.page_id, p.cand_i,
+        max(l.forest_restriction) as forest_restriction_max,
+        max(l.og_restriction) as og_restriction_max,
+        max(l.mine_restriction) as mine_restriction_max
+ from points p join layers l
+   on p.px >= l.x0 and p.px < l.x1 and p.py >= l.y0 and p.py < l.y1
+ group by p.page_id, p.cand_i""")
+
+
+def q_spatial_rollup_counts(spark, sf):
+    """Per-designation rollup of precedence-resolved points (F5/qa.sql
+    analogue): distinct pages + point count per winning designation."""
+    pairs = _pip_pairs(spark, sf)
+    won = precedence_resolve(pairs, ["page_id", "cand_i"])
+    out = won.groupBy("process_order").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct("page_id").alias("n_pages"))
+    return out.select(
+        F.concat(F.lit("desig_"),
+                 F.lpad(F.col("process_order").cast("string"), 2, "0")
+                 ).alias("designation"),
+        "n_points", "n_pages")
+
+
+def o_spatial_rollup_counts():
+    return (preamble("duckdb") + """
+ , won as (
+   select p.page_id, p.cand_i, min(l.process_order) as process_order
+   from points p join layers l
+     on p.px >= l.x0 and p.px < l.x1 and p.py >= l.y0 and p.py < l.y1
+   group by p.page_id, p.cand_i)
+ select concat('desig_', lpad(cast(process_order as string), 2, '0'))
+          as designation,
+        cast(count(*) as bigint) as n_points,
+        cast(count(distinct page_id) as bigint) as n_pages
+ from won group by process_order""")
+
+
+def q_spatial_clip_area_ha(spark, sf):
+    """Clip (A1) of every layer by the land boundary + per-designation
+    dissolved-area rollup in hectares (F5, /root/reference/sql/qa.sql:16).
+
+    Areas are exact integer m^2 (integral coords), so sums are exact and
+    the final /10000 is IEEE-identical across engines.
+    """
+    lay = _layers(spark, sf)
+    ix0 = F.greatest(F.col("x0"), F.lit(BX0))
+    iy0 = F.greatest(F.col("y0"), F.lit(BY0))
+    ix1 = F.least(F.col("x1"), F.lit(BX1))
+    iy1 = F.least(F.col("y1"), F.lit(BY1))
+    w = F.greatest(ix1 - ix0, F.lit(0.0))
+    h = F.greatest(iy1 - iy0, F.lit(0.0))
+    clipped = lay.withColumn("_area", (w * h).cast("bigint"))
+    return (clipped.where(F.col("_area") > 0)
+            .groupBy("designation")
+            .agg((F.sum("_area") / F.lit(10000.0)).alias("area_ha"),
+                 F.count(F.lit(1)).alias("n_feats")))
+
+
+def o_spatial_clip_area_ha():
+    return (preamble("duckdb", pages=False) + f"""
+ , clipped as (
+   select designation,
+     cast(greatest(least(x1, {BX1!r}) - greatest(x0, {BX0!r}), 0.0)
+        * greatest(least(y1, {BY1!r}) - greatest(y0, {BY0!r}), 0.0)
+        as bigint) as _area
+   from layers)
+ select designation,
+        cast(sum(_area) as double) / 10000.0 as area_ha,
+        cast(count(*) as bigint) as n_feats
+ from clipped where _area > 0 group by designation""")
+
+
+def q_spatial_tile_feature_counts(spark, sf):
+    """Per-cell feature counts — the tile op's work histogram (A3); also
+    the skew histogram that drives salting decisions."""
+    lay = _layers(spark, sf)
+    e = explode_rect_cells(lay, "x0", "y0", "x1", "y1", D)
+    return e.groupBy("cell").agg(F.count(F.lit(1)).alias("n_feats"))
+
+
+def o_spatial_tile_feature_counts():
+    res = GRID_SIZE / (1 << D)
+    n = (1 << D) - 1
+    qk = sql_quadkey("cx.i", "cy.i", D, "duckdb")
+    sx = sqlgen.series(1 << D, "cx", "i", "duckdb")
+    sy = sqlgen.series(1 << D, "cy", "i", "duckdb")
+    return (preamble("duckdb", pages=False) + f"""
+ select {qk} as cell, cast(count(*) as bigint) as n_feats
+ from layers, {sx}, {sy}
+ where cx.i >= least({n}, greatest(0,
+         cast(floor((x0 - {XMIN!r}) / {res!r}) as bigint)))
+   and cx.i <= least({n}, greatest(0,
+         cast(floor((x1 - {XMIN!r}) / {res!r}) as bigint)))
+   and cy.i >= least({n}, greatest(0,
+         cast(floor((y0 - {YMIN!r}) / {res!r}) as bigint)))
+   and cy.i <= least({n}, greatest(0,
+         cast(floor((y1 - {YMIN!r}) / {res!r}) as bigint)))
+ group by 1""")
+
+
+def q_pages_latest_capture(spark, sf):
+    """Latest-capture-per-url dedup (as-of/E-note; warc_ts as epoch
+    seconds): max warc_ts + capture count per url."""
+    caps = sqlgen.spark_view(spark, sf, "captures")
+    return caps.groupBy("url").agg(
+        F.max("warc_ts").alias("latest_ts"),
+        F.count(F.lit(1)).alias("n_captures"))
+
+
+def o_pages_latest_capture():
+    return (preamble("duckdb", layers=False) + """
+ select url, max(warc_ts) as latest_ts,
+        cast(count(*) as bigint) as n_captures
+ from captures group by url""")
+
+
+def q_text_bytes_invariant(spark, sf):
+    """BYTE-IDENTITY GATE (BASELINE.json per-row invariant): after the
+    geocode -> cell join -> PIP path, re-join `text` by page key and
+    hash it. The geometry stages never touch `text` (SURVEY §7: carry
+    the key, re-join text at the end), so md5(text) must equal the
+    straight-from-source hash the oracle computes."""
+    pairs = _pip_pairs(spark, sf).select("page_id").distinct()
+    pages = sqlgen.spark_view(spark, sf, "pages")
+    out = pairs.join(pages, "page_id")
+    return out.select("page_id", "url", F.md5("text").alias("text_md5"),
+                      F.length("text").alias("text_len"))
+
+
+def o_text_bytes_invariant():
+    return (preamble("duckdb") + """
+ select distinct p.page_id, p.url, md5(p.text) as text_md5,
+        cast(length(p.text) as int) as text_len
+ from pages p
+ where exists (select 1 from points q join layers l
+                 on q.px >= l.x0 and q.px < l.x1
+                and q.py >= l.y0 and q.py < l.y1
+               where q.page_id = p.page_id)""")
+
+
+# ---------------------------------------------------------- relational
+
+def q_rel_pricing_summary(spark, sf):
+    """TPC-H Q1-shaped aggregation (F5 discipline: cents-integer sums
+    so results are order-independent and bit-identical cross-engine)."""
+    register_tables(spark, sf)
+    li = spark.table("lineitem")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("bigint")  # noqa: E731
+    out = (li.withColumn("_q", cents("l_quantity"))
+             .withColumn("_p", cents("l_extendedprice"))
+             .groupBy("l_returnflag", "l_linestatus")
+             .agg((F.sum("_q") / 100.0).alias("sum_qty"),
+                  (F.sum("_p") / 100.0).alias("sum_price"),
+                  F.count(F.lit(1)).alias("n_rows")))
+    return out
+
+
+def o_rel_pricing_summary():
+    return """
+ select l_returnflag, l_linestatus,
+        cast(sum(cast(round(l_quantity * 100, 0) as bigint)) as double)
+          / 100.0 as sum_qty,
+        cast(sum(cast(round(l_extendedprice * 100, 0) as bigint)) as double)
+          / 100.0 as sum_price,
+        cast(count(*) as bigint) as n_rows
+ from lineitem group by l_returnflag, l_linestatus"""
+
+
+def q_rel_top_orders_per_cust(spark, sf):
+    """Window top-k (G1): 3 biggest orders per customer, deterministic
+    tiebreak on o_orderkey."""
+    register_tables(spark, sf)
+    return spark.sql("""
+ select o_custkey, o_orderkey, rn from (
+   select o_custkey, o_orderkey,
+          row_number() over (partition by o_custkey
+                             order by o_totalprice desc, o_orderkey) as rn
+   from orders) t where rn <= 3""")
+
+
+def o_rel_top_orders_per_cust():
+    return """
+ select o_custkey, o_orderkey, cast(rn as int) as rn from (
+   select o_custkey, o_orderkey,
+          row_number() over (partition by o_custkey
+                             order by o_totalprice desc, o_orderkey) as rn
+   from orders) t where rn <= 3"""
+
+
+QUERIES = {
+    "spatial_cell_assign": (q_spatial_cell_assign, o_spatial_cell_assign),
+    "spatial_pip_join": (q_spatial_pip_join, o_spatial_pip_join),
+    "spatial_pip_precedence": (q_spatial_pip_precedence,
+                               o_spatial_pip_precedence),
+    "spatial_restriction_max": (q_spatial_restriction_max,
+                                o_spatial_restriction_max),
+    "spatial_rollup_counts": (q_spatial_rollup_counts,
+                              o_spatial_rollup_counts),
+    "spatial_clip_area_ha": (q_spatial_clip_area_ha, o_spatial_clip_area_ha),
+    "spatial_tile_feature_counts": (q_spatial_tile_feature_counts,
+                                    o_spatial_tile_feature_counts),
+    "pages_latest_capture": (q_pages_latest_capture, o_pages_latest_capture),
+    "text_bytes_invariant": (q_text_bytes_invariant, o_text_bytes_invariant),
+    "rel_pricing_summary": (q_rel_pricing_summary, o_rel_pricing_summary),
+    "rel_top_orders_per_cust": (q_rel_top_orders_per_cust,
+                                o_rel_top_orders_per_cust),
+}
+
+
+def queries():
+    return {k: v[0] for k, v in QUERIES.items()}
+
+
+def oracles():
+    return {k: v[1]() for k, v in QUERIES.items() if v[1] is not None}

@@ -1,0 +1,166 @@
+"""Deterministic synthetic inputs, emitted as SQL for BOTH engines.
+
+The graft's primary input is a Common-Crawl-style ``pages`` table
+(BASELINE.json input_hint: url, warc_ts, html, text, lang) geocoded to
+candidate points, overlaid against rectangular designation layers
+(FIXTURES.md §1-§3). No external data exists in the sandbox, so both
+are derived *arithmetically* from the driver-provided tables
+(``orders`` supplies page volume, ``documents`` supplies real unicode
+text + language) using only SQL constructs that evaluate bit-identically
+in Spark SQL and DuckDB:
+
+  * md5() — the shared deterministic string hash (verified identical)
+  * int64 modular LCG arithmetic (MINSTD, modulus 2^31-1)
+  * all coordinates integral doubles (exact in float64 in both engines)
+
+That makes every engine query checkable against a plain-SQL DuckDB
+oracle at the driver's correctness gate: same pages, same points, same
+rectangles, same cells, on both sides.
+
+Reference semantics mirrored here:
+  * registry constants stamped per layer — /root/reference/
+    designatedlands.py:354-427 (process_order, designation,
+    forest/og/mine restriction ints)
+  * hot-cell skew (dense coastal cells) — FIXTURES.md §3(c)
+  * 2-3 candidate geometries for ~10%% of pages — FIXTURES.md §1
+  * ~5%% of urls re-captured a day later (latest-per-url dedup)
+"""
+
+from __future__ import annotations
+
+from .config import (HEIGHT_I, WARC_EPOCH0, WIDTH_I, XMIN, YEAR_SECONDS, YMIN)
+
+M31 = 2147483647  # MINSTD modulus
+
+
+def hex2int(expr: str, dialect: str) -> str:
+    """First 60 bits of md5 as a non-negative BIGINT — identical in both
+    dialects (verified: Spark conv() == DuckDB hex-literal cast)."""
+    if dialect == "spark":
+        return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def series(n: int, alias: str, col: str, dialect: str) -> str:
+    """Derived table of integers 0..n-1."""
+    if dialect == "spark":
+        return f"(select explode(sequence(0, {n - 1})) as {col}) {alias}"
+    return f"(select unnest(generate_series(0, {n - 1})) as {col}) {alias}"
+
+
+# Boundary rectangle (bc_boundary_land analogue, FIXTURES.md §4 at the
+# oracle-checkable level; the ragged-coastline polygon variant lives in
+# tests/ fixtures for the geometry kernel).
+BX0 = XMIN + 100000.5
+BX1 = XMIN + 1300000.5
+BY0 = YMIN + 50000.5
+BY1 = YMIN + 1250000.5
+
+
+def pages_ctes(dialect: str) -> str:
+    """CTEs: pages (1 row/url), captures (warc_ts dups), points
+    (geocoded candidate points)."""
+    h64 = hex2int("url", dialect)
+    hy = hex2int("url || ':y'", dialect)
+    cand = series(3, "c", "cand_i", dialect)
+    return f"""
+_p0 as (
+  select o_orderkey as page_id,
+         concat('https://site', cast(o_orderkey % 1000 as string),
+                '.example/p/', cast(o_orderkey as string)) as url,
+         o_orderkey % (select count(*) from documents) as _did
+  from orders
+),
+pages as (
+  select p.page_id, p.url,
+         {h64} as h64,
+         {hy} as hy,
+         d.text as text, d.lang as lang
+  from _p0 p join documents d on d.doc_id = p._did
+),
+captures as (
+  select page_id, url, text, lang, h64, hy, 0 as capture_i,
+         {WARC_EPOCH0} + (h64 % {YEAR_SECONDS}) as warc_ts
+  from pages
+  union all
+  select page_id, url, text, lang, h64, hy, 1 as capture_i,
+         {WARC_EPOCH0} + (h64 % {YEAR_SECONDS}) + 86400 as warc_ts
+  from pages where h64 % 20 = 0
+),
+points as (
+  select p.page_id, p.url, p.h64, p.hy, c.cand_i,
+         {XMIN!r} + ((p.h64 + c.cand_i * 7919) % {WIDTH_I}) + 0.5 as px,
+         {YMIN!r} + ((p.hy + c.cand_i * 104729) % {HEIGHT_I}) + 0.5 as py
+  from pages p join {cand}
+    on c.cand_i < (case when p.h64 % 10 = 0
+                        then 2 + cast(p.h64 % 2 as int) else 1 end)
+)"""
+
+
+def layers_ctes(dialect: str) -> str:
+    """CTEs ending in ``layers``: rectangular designation features with
+    registry constants (process_order, designation, restrictions)."""
+    return f"""
+_l0 as (
+  select doc_id as feat_id,
+         (cast(doc_id as bigint) * 48271 + 11) % {M31} as r1
+  from documents
+),
+_l1 as (select *, (r1 * 48271 + 17) % {M31} as r2 from _l0),
+_l2 as (select *, (r2 * 48271 + 23) % {M31} as r3 from _l1),
+_l3 as (select *, (r3 * 48271 + 29) % {M31} as r4 from _l2),
+_l4 as (select *, (r4 * 48271 + 31) % {M31} as r5 from _l3),
+_l5 as (
+  select feat_id, r1, r2, r3, r4, r5,
+         cast(feat_id % 8 as int) + 1 as process_order,
+         case when feat_id % 5 = 0
+              then {XMIN!r} + 250000 + (r1 % 150000) + 0.5
+              else {XMIN!r} + (r1 % {WIDTH_I - 50000}) + 0.5 end as x0,
+         case when feat_id % 5 = 0
+              then {YMIN!r} + 900000 + (r2 % 150000) + 0.5
+              else {YMIN!r} + (r2 % {HEIGHT_I - 50000}) + 0.5 end as y0,
+         500 + (r3 % 49500) as w,
+         500 + (r4 % 49500) as h
+  from _l4
+),
+layers as (
+  select feat_id, process_order,
+         concat('desig_', lpad(cast(process_order as string), 2, '0'))
+           as designation,
+         concat('desig_', lpad(cast(process_order as string), 2, '0'),
+                '-', cast(feat_id as string)) as src_id,
+         concat('name ', cast(feat_id as string)) as src_name,
+         x0, y0, x0 + w as x1, y0 + h as y1,
+         cast(r5 % 6 as int) as forest_restriction,
+         cast((r3 + r5) % 6 as int) as og_restriction,
+         cast((r4 + r5) % 6 as int) as mine_restriction
+  from _l5
+)"""
+
+
+def preamble(dialect: str, *, pages: bool = True, layers: bool = True) -> str:
+    parts = []
+    if pages:
+        parts.append(pages_ctes(dialect))
+    if layers:
+        parts.append(layers_ctes(dialect))
+    return "with " + ",".join(parts)
+
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def register_tables(spark, sf_dir: str) -> None:
+    """Register the driver parquet tables as temp views (Spark side of
+    the oracle contract; DuckDB side is pre-registered by the driver)."""
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def spark_view(spark, sf_dir: str, name: str):
+    """Materialize one generated CTE tree as a DataFrame (engine input)."""
+    register_tables(spark, sf_dir)
+    need_pages = name in ("pages", "captures", "points")
+    pre = preamble("spark", pages=need_pages, layers=not need_pages)
+    return spark.sql(f"{pre} select * from {name}")
