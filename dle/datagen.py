@@ -1,0 +1,113 @@
+"""WKB feature generation for the overlay pipeline (FIXTURES.md §3-§4).
+
+Derives polygon designation layers from the same arithmetic rectangle
+specs as sqlgen.layers_ctes (single source of truth for placement), then
+adds the kernel-exercising irregularities FIXTURES.md asks for:
+
+  * 1-in-7 features rotated about their center (non-axis-aligned)
+  * 1-in-97 features turned into invalid bowties (exercises safe_repair)
+  * the land boundary is a big polygon with a ragged west edge and two
+    interior holes (designatedlands.py:624-721 analogue)
+
+Everything is deterministic from feat_id; no randomness, no I/O.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import BinaryType
+
+from . import sqlgen
+from .config import XMIN, XMAX, YMIN, YMAX
+from .geom import wkb
+
+
+def _rect_pts(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                    dtype=np.float64)
+
+
+def _feature_wkb(feat_id: int, r5: int, x0: float, y0: float,
+                 x1: float, y1: float) -> bytes:
+    if feat_id % 97 == 0:
+        # invalid bowtie: crossed quad
+        pts = np.array([[x0, y0], [x1, y1], [x1, y0], [x0, y1], [x0, y0]],
+                       dtype=np.float64)
+        return wkb.polygon_wkb([pts])
+    pts = _rect_pts(x0, y0, x1, y1)
+    if feat_id % 7 == 3:
+        theta = (r5 % 628) / 100.0
+        c, s = np.cos(theta), np.sin(theta)
+        ctr = np.array([(x0 + x1) / 2, (y0 + y1) / 2])
+        pts = (pts - ctr) @ np.array([[c, -s], [s, c]]).T + ctr
+    return wkb.polygon_wkb([pts])
+
+
+_wkb_udf = F.pandas_udf(
+    lambda fid, r5, x0, y0, x1, y1: pd.Series(
+        [_feature_wkb(int(f), int(r), a, b, c, d)
+         for f, r, a, b, c, d in zip(fid, r5, x0, y0, x1, y1)]),
+    BinaryType())
+
+
+def layers_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Designation features as WKB polygons + registry columns."""
+    sqlgen.register_tables(spark, sf_dir)
+    pre = sqlgen.preamble("spark", pages=False)
+    df = spark.sql(pre + """
+ select l.feat_id, l.process_order, l.designation, l.src_id, l.src_name,
+        l.x0, l.y0, l.x1, l.y1,
+        l.forest_restriction, l.og_restriction, l.mine_restriction,
+        r.r5
+ from layers l join _l4 r on r.feat_id = l.feat_id""")
+    df = df.withColumn(
+        "geom", _wkb_udf("feat_id", "r5", "x0", "y0", "x1", "y1"))
+    return df.drop("r5")
+
+
+def boundary_land(spark: SparkSession) -> DataFrame:
+    """bc_boundary_land analogue: one polygon covering ~70% of the
+    extent with a ragged (sawtooth) west coast and two interior holes."""
+    east = XMIN + 1_400_000.0
+    south = YMIN + 30_000.0
+    north = YMIN + 1_300_000.0
+    west_base = XMIN + 60_000.0
+    pts = [(east, south)]
+    pts.append((east, north))
+    # ragged west edge: sawtooth from north to south
+    n_teeth = 24
+    ys = np.linspace(north, south, n_teeth + 1)
+    for i, y in enumerate(ys):
+        amp = 40_000.0 if i % 2 == 0 else 110_000.0
+        pts.append((west_base + amp, float(y)))
+    pts.append((east, south))
+    shell = np.array(pts, dtype=np.float64)
+    if wkb.ring_area(shell) < 0:
+        shell = shell[::-1]
+    hole1 = _rect_pts(XMIN + 500_000, YMIN + 500_000,
+                      XMIN + 600_000, YMIN + 620_000)[::-1]
+    hole2 = _rect_pts(XMIN + 900_000, YMIN + 200_000,
+                      XMIN + 1_000_000, YMIN + 260_000)[::-1]
+    buf = wkb.polygon_wkb([shell, hole1, hole2])
+    return spark.createDataFrame(
+        [("bc_boundary_land", bytearray(buf))],
+        "bc_boundary string, geom binary")
+
+
+def bands_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-y-band overlapping intervals per designation: the engine
+    dissolves them as real 2-D WKB polygons; the DuckDB oracle computes
+    the same union area as 1-D interval islands (gate-checkable
+    dissolve, SURVEY §5)."""
+    sqlgen.register_tables(spark, sf_dir)
+    df = spark.sql(
+        sqlgen.preamble("spark", pages=False, layers=False, bands=True)
+        + " select * from bands")
+    to_wkb = F.pandas_udf(
+        lambda x0, y0, x1, y1: pd.Series(
+            [wkb.polygon_wkb([_rect_pts(a, b, c, d)])
+             for a, b, c, d in zip(x0, y0, x1, y1)]),
+        BinaryType())
+    return df.withColumn("geom", to_wkb("bx0", "by0", "bx1", "by1"))

@@ -1,0 +1,478 @@
+"""Slab-decomposition polygon boolean kernel (pure numpy/Python).
+
+One primitive — a vertical slab sweep over grid-snapped edges with
+per-tag winding counts — implements the reference's whole areal-op
+surface (SURVEY §2 A/H/I):
+
+  ST_Union / dissolve        -> union_all            (designatedlands.py:102-113)
+  ST_Intersection / clip     -> boolean 'and'        (designatedlands.py:82-99)
+  ST_Difference              -> boolean 'diff'       (sql/ST_Safe_Difference.sql)
+  ST_MakeValid / Safe_Repair -> boolean 'a' nonzero  (sql/ST_Safe_Repair.sql:32-59)
+  ST_Polygonize + PIP rejoin -> planarize faces      (sql/create_designations_planarized.sql)
+  ST_Area                    -> area / trapezoid sum
+
+Method: snap coords to an integer grid (the reference leans on the
+same snapping for robustness — SNAP constants in BASELINE.md); collect
+directed non-vertical edges tagged by operand; slab boundaries at every
+vertex x and every pairwise proper-crossing x; inside a slab edges are
+y-ordered and constant, so cumulative per-tag winding between
+consecutive edges gives exact coverage; covered gaps become trapezoids;
+trapezoids are stitched back into rings (interior-on-left orientation:
+CCW shells, CW holes) with quantized vertices so shared boundaries
+cancel exactly.
+
+Determinism: integer inputs, canonical edge ordering, sorted outputs —
+results are independent of partitioning and input order, which is the
+engine's substitute for PostGIS's single-writer semantics (SURVEY §7
+"Determinism across partitionings").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+# vertex quantum for ring assembly (in snapped-int units): 2^-20
+_Q = 1048576.0
+
+
+def rect_rings(x0: float, y0: float, x1: float, y1: float) -> list:
+    return [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                     dtype=np.float64)]
+
+
+def area(rings: list) -> float:
+    """Signed shoelace area sum over a ring list (CCW positive)."""
+    tot = 0.0
+    for r in rings:
+        x, y = r[:, 0], r[:, 1]
+        tot += 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+    return float(tot)
+
+
+# ------------------------------------------------------------- edges
+
+def _snap_ring(r: np.ndarray, grid: float) -> np.ndarray:
+    pts = np.rint(np.asarray(r, dtype=np.float64) / grid).astype(np.int64)
+    keep = np.ones(len(pts), dtype=bool)
+    keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+    pts = pts[keep]
+    if len(pts) >= 2 and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+    return pts
+
+
+def _edges(tagged: list[tuple[int, list]], grid: float):
+    """-> (x0, y0, x1, y1, w, tag) float64/int arrays; canonical x0<x1."""
+    ex0, ey0, ex1, ey1, ws, tg = [], [], [], [], [], []
+    for tag, rings in tagged:
+        for r in rings:
+            pts = _snap_ring(r, grid)
+            n = len(pts)
+            if n < 3:
+                continue
+            for i in range(n):
+                ax, ay = pts[i]
+                bx, by = pts[(i + 1) % n]
+                if ax == bx:
+                    continue  # vertical: no winding contribution
+                if ax < bx:
+                    ex0.append(ax); ey0.append(ay)
+                    ex1.append(bx); ey1.append(by)
+                    ws.append(1)
+                else:
+                    ex0.append(bx); ey0.append(by)
+                    ex1.append(ax); ey1.append(ay)
+                    ws.append(-1)
+                tg.append(tag)
+    if not ex0:
+        z = np.zeros(0)
+        return z, z, z, z, np.zeros(0, np.int64), np.zeros(0, np.int64)
+    order = np.lexsort((np.asarray(ws), np.asarray(ey1), np.asarray(ex1),
+                        np.asarray(ey0), np.asarray(ex0)))
+    f = np.float64
+    return (np.asarray(ex0, f)[order], np.asarray(ey0, f)[order],
+            np.asarray(ex1, f)[order], np.asarray(ey1, f)[order],
+            np.asarray(ws, np.int64)[order],
+            np.asarray(tg, np.int64)[order])
+
+
+def _crossing_xs(x0, y0, x1, y1) -> np.ndarray:
+    """x-coords of proper pairwise crossings (chunked O(E^2) numpy)."""
+    e = len(x0)
+    if e < 2:
+        return np.zeros(0)
+    out = []
+    step = max(1, min(e, 2_000_000 // max(e, 1)))
+    for s in range(0, e, step):
+        sl = slice(s, min(s + step, e))
+        ax0, ay0 = x0[sl, None], y0[sl, None]
+        ax1, ay1 = x1[sl, None], y1[sl, None]
+        bx0, by0 = x0[None, :], y0[None, :]
+        bx1, by1 = x1[None, :], y1[None, :]
+        cand = (np.maximum(ax0, bx0) < np.minimum(ax1, bx1))
+        cand &= (np.maximum(np.minimum(ay0, ay1), np.minimum(by0, by1))
+                 <= np.minimum(np.maximum(ay0, ay1), np.maximum(by0, by1)))
+        if not cand.any():
+            continue
+        adx, ady = ax1 - ax0, ay1 - ay0
+        bdx, bdy = bx1 - bx0, by1 - by0
+        d1 = bdx * (ay0 - by0) - bdy * (ax0 - bx0)
+        d2 = bdx * (ay1 - by0) - bdy * (ax1 - bx0)
+        d3 = adx * (by0 - ay0) - ady * (bx0 - ax0)
+        d4 = adx * (by1 - ay0) - ady * (bx1 - ax0)
+        proper = cand & (d1 * d2 < 0) & (d3 * d4 < 0)
+        if not proper.any():
+            continue
+        t = d1[proper] / (d1[proper] - d2[proper])
+        xi = (ax0 + t * 0)  # placeholder shape fix below
+        ai, bi = np.nonzero(proper)
+        xi = x0[sl][ai] + t * (x1[sl][ai] - x0[sl][ai])
+        out.append(xi)
+    return np.concatenate(out) if out else np.zeros(0)
+
+
+@dataclass
+class Trap:
+    xa: float
+    xb: float
+    ya_b: float
+    yb_b: float
+    ya_t: float
+    yb_t: float
+    label: tuple = ()
+
+    def area_units(self) -> float:
+        return 0.5 * (self.xb - self.xa) * (
+            (self.ya_t + self.yb_t) - (self.ya_b + self.yb_b))
+
+
+_PREDICATES = {
+    "a": lambda wa, wb: wa != 0,
+    "or": lambda wa, wb: (wa != 0) | (wb != 0),
+    "and": lambda wa, wb: (wa != 0) & (wb != 0),
+    "diff": lambda wa, wb: (wa != 0) & (wb == 0),
+    "xor": lambda wa, wb: (wa != 0) ^ (wb != 0),
+}
+
+
+def _sweep(tagged: list[tuple[int, list]], grid: float,
+           predicate=None, labels: bool = False) -> list[Trap]:
+    """Core sweep. predicate(wa, wb) mode emits coverage trapezoids for
+    tags {0,1}; labels mode emits trapezoids labeled with the sorted
+    tuple of tags having nonzero winding (planarize)."""
+    x0, y0, x1, y1, w, tg = _edges(tagged, grid)
+    if len(x0) == 0:
+        return []
+    xs = np.unique(np.concatenate([
+        x0, x1, _crossing_xs(x0, y0, x1, y1)]))
+    slope = (y1 - y0) / (x1 - x0)
+    ntags = int(tg.max()) + 1 if labels else 2
+    # incremental active set via add/remove events
+    add_order = np.argsort(x0, kind="stable")
+    rem_order = np.argsort(x1, kind="stable")
+    ai = ri = 0
+    active: set[int] = set()
+    traps: list[Trap] = []
+    for k in range(len(xs) - 1):
+        xa, xb = xs[k], xs[k + 1]
+        while ai < len(add_order) and x0[add_order[ai]] <= xa:
+            active.add(int(add_order[ai])); ai += 1
+        while ri < len(rem_order) and x1[rem_order[ri]] <= xa:
+            active.discard(int(rem_order[ri])); ri += 1
+        if xb <= xa or not active:
+            continue
+        idx = np.fromiter(active, dtype=np.int64, count=len(active))
+        xm = 0.5 * (xa + xb)
+        ym = y0[idx] + (xm - x0[idx]) * slope[idx]
+        order = np.lexsort((slope[idx], ym))
+        idx = idx[order]
+        m = len(idx)
+        if labels:
+            mat = np.zeros((m, ntags), dtype=np.int64)
+            mat[np.arange(m), tg[idx]] = w[idx]
+            cum = np.cumsum(mat, axis=0)
+            labs = [tuple(np.flatnonzero(cum[i]).tolist())
+                    for i in range(m - 1)]
+            covered = np.array([len(lb) > 0 for lb in labs] + [False])
+        else:
+            wa = np.cumsum(np.where(tg[idx] == 0, w[idx], 0))
+            wb = np.cumsum(np.where(tg[idx] == 1, w[idx], 0))
+            covered = np.zeros(m, dtype=bool)
+            covered[: m - 1] = predicate(wa[: m - 1], wb[: m - 1])
+        i = 0
+        while i < m - 1:
+            if not covered[i]:
+                i += 1
+                continue
+            j = i
+            if labels:
+                while j + 1 < m - 1 and covered[j + 1] \
+                        and labs[j + 1] == labs[i]:
+                    j += 1
+            else:
+                while j + 1 < m - 1 and covered[j + 1]:
+                    j += 1
+            eb, et = idx[i], idx[j + 1]
+            tr = Trap(
+                xa, xb,
+                y0[eb] + (xa - x0[eb]) * slope[eb],
+                y0[eb] + (xb - x0[eb]) * slope[eb],
+                y0[et] + (xa - x0[et]) * slope[et],
+                y0[et] + (xb - x0[et]) * slope[et],
+                labs[i] if labels else ())
+            if tr.area_units() > 0:
+                traps.append(tr)
+            i = j + 1
+    return traps
+
+
+# -------------------------------------------------------- assembly
+
+def _q(v: float) -> float:
+    return np.rint(v * _Q) / _Q
+
+
+def _assemble(traps: list[Trap], grid: float) -> list:
+    """Stitch trapezoids into rings (meters, CCW shells / CW holes)."""
+    if not traps:
+        return []
+    from collections import Counter, defaultdict
+
+    segs: Counter = Counter()
+
+    def add(p0, p1):
+        if p0 == p1:
+            return
+        if segs[(p1, p0)] > 0:
+            segs[(p1, p0)] -= 1
+        else:
+            segs[(p0, p1)] += 1
+
+    bounds: dict[float, list] = defaultdict(list)
+    for t in traps:
+        xa, xb = _q(t.xa), _q(t.xb)
+        ya_b, yb_b = _q(t.ya_b), _q(t.yb_b)
+        ya_t, yb_t = _q(t.ya_t), _q(t.yb_t)
+        add((xa, ya_b), (xb, yb_b))        # bottom, +x (interior above)
+        add((xb, yb_t), (xa, ya_t))        # top, -x (interior below)
+        bounds[xa].append((ya_b, ya_t, +1))  # opens at xa
+        bounds[xb].append((yb_b, yb_t, -1))  # closes at xb
+    # vertical boundary pieces at each slab boundary x: covered-right
+    # only -> upward is wrong; interior-on-left means:
+    #   covered on RIGHT only (piece opens) -> downward? no:
+    # heading up has interior west(left); so left-covered-only -> up.
+    for x, ivals in bounds.items():
+        events: dict[float, list[int]] = defaultdict(lambda: [0, 0])
+        for ylo, yhi, side in ivals:
+            s = 0 if side < 0 else 1  # 0: covered on left, 1: on right
+            events[_q(ylo)][s] += 1
+            events[_q(yhi)][s] -= 1
+        lc = rc = 0
+        ys = sorted(events)
+        for y0v, y1v in zip(ys, ys[1:]):
+            lc += events[y0v][0]
+            rc += events[y0v][1]
+            if (lc > 0) and (rc == 0):
+                add((x, y0v), (x, y1v))      # interior left -> up
+            elif (rc > 0) and (lc == 0):
+                add((x, y1v), (x, y0v))      # interior right -> down
+    # link segments into rings, leftmost-turn rule at junctions
+    out_edges: dict[tuple, list] = defaultdict(list)
+    for (p0, p1), c in segs.items():
+        for _ in range(c):
+            out_edges[p0].append(p1)
+    for v in out_edges.values():
+        v.sort()
+    rings = []
+    import math
+    while out_edges:
+        start = min(out_edges)
+        cur = start
+        nxt = out_edges[cur][-1]
+        ring = [cur]
+        prev = cur
+        cur = nxt
+        _pop(out_edges, prev, cur)
+        while cur != start:
+            ring.append(cur)
+            cands = out_edges.get(cur)
+            if not cands:
+                break  # defensive: broken chain, drop fragment
+            if len(cands) == 1:
+                nxt = cands[0]
+            else:
+                hx, hy = cur[0] - prev[0], cur[1] - prev[1]
+                best, besta = None, -9.0
+                for c in cands:
+                    gx, gy = c[0] - cur[0], c[1] - cur[1]
+                    ang = math.atan2(hx * gy - hy * gx, hx * gx + hy * gy)
+                    if ang <= -math.pi + 1e-12:
+                        ang = math.pi  # full U-turn counts as leftmost
+                    if ang > besta:
+                        best, besta = c, ang
+                nxt = best
+            _pop(out_edges, cur, nxt)
+            prev, cur = cur, nxt
+        else:
+            arr = np.array(ring + [start], dtype=np.float64) * grid
+            rings.append(arr)
+            continue
+    return rings
+
+
+def _pop(out_edges, p0, p1):
+    lst = out_edges[p0]
+    lst.remove(p1)
+    if not lst:
+        del out_edges[p0]
+
+
+# ------------------------------------------------------------- API
+
+def boolean(rings_a: list, rings_b: list, op: str,
+            grid: float = 0.1) -> list:
+    """Polygon boolean; returns ring list in meters (CCW shells)."""
+    traps = _sweep([(0, rings_a), (1, rings_b)], grid, _PREDICATES[op])
+    return _assemble(traps, grid)
+
+
+def boolean_area(rings_a: list, rings_b: list, op: str,
+                 grid: float = 0.1) -> float:
+    """Area of the boolean result in m^2 (no ring assembly — fast)."""
+    traps = _sweep([(0, rings_a), (1, rings_b)], grid, _PREDICATES[op])
+    return sum(t.area_units() for t in traps) * grid * grid
+
+
+def union_all(ring_lists: list[list], grid: float = 0.1) -> list:
+    """Dissolve: union of many polygons (ST_Union GROUP BY analogue)."""
+    merged = [r for rl in ring_lists for r in rl]
+    return boolean(merged, [], "a", grid)
+
+
+def union_all_area(ring_lists: list[list], grid: float = 0.1) -> float:
+    merged = [r for rl in ring_lists for r in rl]
+    return boolean_area(merged, [], "a", grid)
+
+
+def make_valid(rings: list, grid: float = 0.1) -> list:
+    """ST_MakeValid / ST_Safe_Repair analogue: nonzero-winding rebuild
+    (bowties split, self-intersections resolved, orientation fixed)."""
+    return boolean(rings, [], "a", grid)
+
+
+def intersection(a: list, b: list, grid: float = 0.1) -> list:
+    return boolean(a, b, "and", grid)
+
+
+def difference(a: list, b: list, grid: float = 0.1) -> list:
+    return boolean(a, b, "diff", grid)
+
+
+def clip_bbox(rings: list, bx0: float, by0: float, bx1: float,
+              by1: float) -> list:
+    """Fast ST_Intersection(geom, cell_bbox) for tiling (A3): vectorized
+    Sutherland–Hodgman against each half-plane of the box. Non-convex
+    subjects may gain zero-width bridges along the clip boundary; these
+    are winding-neutral and harmless to every downstream kernel op
+    (which rebuilds by winding)."""
+    out = []
+    for r in rings:
+        pts = np.asarray(r, dtype=np.float64)
+        if len(pts) and (pts[0] == pts[-1]).all():
+            pts = pts[:-1]
+        for axis, bound, keep_le in ((0, bx1, True), (0, bx0, False),
+                                     (1, by1, True), (1, by0, False)):
+            if len(pts) < 3:
+                break
+            v = pts[:, axis]
+            inside = (v <= bound) if keep_le else (v >= bound)
+            if inside.all():
+                continue
+            nxt = np.roll(np.arange(len(pts)), -1)
+            res = []
+            for i in range(len(pts)):
+                j = nxt[i]
+                if inside[i]:
+                    res.append(pts[i])
+                if inside[i] != inside[j]:
+                    p, q = pts[i], pts[j]
+                    t = (bound - p[axis]) / (q[axis] - p[axis])
+                    ip = p + t * (q - p)
+                    ip[axis] = bound
+                    res.append(ip)
+            pts = np.asarray(res) if res else np.zeros((0, 2))
+        if len(pts) >= 3:
+            out.append(np.vstack([pts, pts[:1]]))
+    return out
+
+
+def covered_by_bbox(rings: list, bx0, by0, bx1, by1) -> bool:
+    """Cheap ST_CoveredBy fastpath vs a rectangle (tile.sql:43-47)."""
+    for r in rings:
+        if (r[:, 0].min() < bx0 or r[:, 0].max() > bx1
+                or r[:, 1].min() < by0 or r[:, 1].max() > by1):
+            return False
+    return True
+
+
+@dataclass
+class Face:
+    labels: tuple       # sorted tag ids covering this face
+    rings: list         # meters
+    area_m2: float
+    rep_x: float        # representative interior point
+    rep_y: float
+
+
+def planarize(tagged: list[tuple[int, list]], grid: float = 0.1,
+              with_rings: bool = True) -> list[Face]:
+    """Faces of the arrangement of all input polygons, each labeled with
+    the set of covering tags — the flagship planarize op (SURVEY §2 A7).
+    Connected components via trapezoid adjacency (shared slab boundary
+    with positive vertical overlap and identical label)."""
+    traps = _sweep(tagged, grid, labels=True)
+    if not traps:
+        return []
+    n = len(traps)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(i, j):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[rj] = ri
+
+    from collections import defaultdict
+    by_xa = defaultdict(list)
+    for i, t in enumerate(traps):
+        by_xa[t.xa].append(i)
+    for j, t in enumerate(traps):
+        for i in by_xa.get(t.xb, ()):
+            o = traps[i]
+            if o.label != t.label:
+                continue
+            lo = max(t.yb_b, o.ya_b)
+            hi = min(t.yb_t, o.ya_t)
+            if hi > lo:
+                union(i, j)
+    comps = defaultdict(list)
+    for i in range(n):
+        comps[find(i)].append(i)
+    faces = []
+    for ids in comps.values():
+        ts = [traps[i] for i in ids]
+        a = sum(t.area_units() for t in ts) * grid * grid
+        big = max(ts, key=lambda t: t.area_units())
+        rx = 0.5 * (big.xa + big.xb) * grid
+        ry = 0.25 * (big.ya_b + big.yb_b + big.ya_t + big.yb_t) * grid
+        rings = _assemble(ts, grid) if with_rings else []
+        faces.append(Face(ts[0].label, rings, a, rx, ry))
+    faces.sort(key=lambda f: (f.labels, f.rep_x, f.rep_y))
+    return faces

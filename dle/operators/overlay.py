@@ -1,0 +1,310 @@
+"""WKB overlay operators (SURVEY §2 A1-A10) — Spark DataFrame wrappers
+around the slab-decomposition kernel.
+
+Physical shape shared by every operator:
+  1. JVM phase: bbox extraction once, `explode(cover_cells(bbox))`
+     (spatial_join.explode_rect_cells), shuffle/broadcast keyed by
+     `cell` — the reference's per-tile fan-out
+     (/root/reference/designatedlands.py:810-817) becomes Spark tasks.
+  2. Arrow phase: a grouped pandas UDF runs the numpy kernel on each
+     cell group. Geometry never crosses cells after tiling, so groups
+     are embarrassingly parallel — same guarantee the reference gets
+     from per-tile SQL (sql/create_designations_planarized.sql:8).
+
+All geometry columns are WKB BinaryType. All ops snap at GRID=0.1 m
+(the reference's intersection/union grid size,
+sql/create_designations_overlapping.sql:56) which also makes results
+independent of partitioning and input order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+from ..cells import cell_bounds
+from ..config import SLIVER_AREA, SNAP_GRID
+from ..geom import kernel as K
+from ..geom import wkb
+from .spatial_join import explode_rect_cells
+
+GRID = SNAP_GRID
+
+
+# --------------------------------------------------------- helpers
+
+_bbox_udf = F.pandas_udf(
+    lambda g: pd.Series([_bbox(b) for b in g]),
+    ArrayType(DoubleType()))
+
+
+def _bbox(buf: bytes) -> list[float]:
+    rings = wkb.parse_rings(bytes(buf))
+    xs = np.concatenate([r[:, 0] for r in rings])
+    ys = np.concatenate([r[:, 1] for r in rings])
+    return [float(xs.min()), float(ys.min()),
+            float(xs.max()), float(ys.max())]
+
+
+def with_bbox(df: DataFrame, geom: str = "geom") -> DataFrame:
+    df = df.withColumn("_bb", _bbox_udf(geom))
+    return (df.withColumn("bx0", F.col("_bb")[0])
+              .withColumn("by0", F.col("_bb")[1])
+              .withColumn("bx1", F.col("_bb")[2])
+              .withColumn("by1", F.col("_bb")[3])
+              .drop("_bb"))
+
+
+_area_udf = F.pandas_udf(
+    lambda g: pd.Series([K.area(wkb.parse_rings(bytes(b))) for b in g]),
+    DoubleType())
+
+
+def with_area(df: DataFrame, geom: str = "geom",
+              out: str = "area_m2") -> DataFrame:
+    """ST_Area analogue (vectorized shoelace)."""
+    return df.withColumn(out, _area_udf(geom))
+
+
+def _schema_of(df: DataFrame, *extra: str) -> str:
+    parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in
+             df.schema.fields]
+    return ", ".join(parts + list(extra))
+
+
+# ------------------------------------------------------------ tile
+
+def tile_geoms(df: DataFrame, depth: int, geom: str = "geom",
+               grid: float = GRID) -> DataFrame:
+    """A3 tile: dice every geometry by the cell grid. One output row per
+    (input row, covering cell) with geom clipped to the cell bbox
+    (coveredby fastpath: single-cell features pass through unclipped —
+    sql/tile.sql:43-47)."""
+    bb = with_bbox(df, geom)
+    e = explode_rect_cells(bb, "bx0", "by0", "bx1", "by1", depth)
+    e = e.drop("_cx", "_cy")
+    out_schema = _schema_of(e)
+    gcol = geom
+
+    def clip_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs, keep = [], []
+        for i, (buf, cell) in enumerate(zip(pdf[gcol], pdf["cell"])):
+            x0, y0, x1, y1 = cell_bounds(cell)
+            rings = wkb.parse_rings(bytes(buf))
+            if K.covered_by_bbox(rings, x0, y0, x1, y1):
+                outs.append(bytes(buf))
+                keep.append(i)
+                continue
+            clipped = K.clip_bbox(rings, x0, y0, x1, y1)
+            clipped = K.make_valid(clipped, grid)
+            if clipped and K.area(clipped) > 0:
+                outs.append(wkb.rings_wkb(clipped))
+                keep.append(i)
+        res = pdf.iloc[keep].copy()
+        res[gcol] = outs
+        return res
+
+    return e.groupBy("cell").applyInPandas(clip_part, out_schema)
+
+
+# -------------------------------------------------------- dissolve
+
+def dissolve(df: DataFrame, keys: list[str], geom: str = "geom",
+             grid: float = GRID, explode_parts: bool = False) -> DataFrame:
+    """A2/F1 dissolve: union of all geometries per key group
+    (ST_Union … GROUP BY — designatedlands.py:102-113). With
+    `explode_parts`, multipart results are dumped to one row per
+    polygon part (ST_Dump, sql/tile.sql:36)."""
+    cols = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}"
+                     for c in keys)
+    schema = f"{cols}, `{geom}` binary" + (
+        ", part_i int" if explode_parts else "")
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        rings = K.union_all(
+            [wkb.parse_rings(bytes(b)) for b in pdf[geom]], grid)
+        head = pdf.iloc[:1][keys]
+        if not rings:
+            return head.iloc[0:0].assign(**{geom: []})
+        if not explode_parts:
+            return head.assign(**{geom: [wkb.rings_wkb(rings)]})
+        parts = split_parts(rings)
+        rep = pd.concat([head] * len(parts), ignore_index=True)
+        rep[geom] = [wkb.rings_wkb(p) for p in parts]
+        rep["part_i"] = range(len(parts))
+        return rep
+
+    return df.groupBy(*keys).applyInPandas(agg, schema)
+
+
+def split_parts(rings: list) -> list[list]:
+    """ST_Dump: split a ring soup into polygons (shell + its holes)."""
+    shells, holes = [], []
+    for r in rings:
+        (shells if wkb.ring_area(r) >= 0 else holes).append(r)
+    if not shells:
+        return [[r] for r in rings]
+    out = [[s] for s in shells]
+    for h in holes:
+        for p in out:
+            if wkb._point_in_ring(h[0][0], h[0][1], p[0]):
+                p.append(h)
+                break
+        else:
+            out[0].append(h)
+    return out
+
+
+# ------------------------------------------------------------ clip
+
+def clip(df_a: DataFrame, df_b: DataFrame, depth: int,
+         geom: str = "geom", grid: float = GRID) -> DataFrame:
+    """A1 clip: intersect A's geometries with the union of B, keeping
+    A's attributes (designatedlands.py:82-99). Cell-cogrouped; cells
+    fully covered by B pass A through unchanged (coveredby fastpath)."""
+    a = tile_geoms(df_a, depth, geom, grid).drop("bx0", "by0", "bx1", "by1")
+    b = tile_geoms(df_b.select(geom), depth, geom, grid) \
+        .select("cell", F.col(geom).alias("_bgeom"))
+    out_schema = _schema_of(a)
+
+    def do_clip(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame):
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return a_pdf.iloc[0:0]
+        cx0, cy0, cx1, cy1 = cell_bounds(key[0])
+        cell_area = (cx1 - cx0) * (cy1 - cy0)
+        b_rings = [r for buf in b_pdf["_bgeom"]
+                   for r in wkb.parse_rings(bytes(buf))]
+        b_area = K.boolean_area(b_rings, [], "a", grid)
+        if b_area >= cell_area - grid:  # B covers the cell: fastpath
+            return a_pdf
+        outs, keep = [], []
+        for i, buf in enumerate(a_pdf[geom]):
+            rings = wkb.parse_rings(bytes(buf))
+            inter = K.intersection(rings, b_rings, grid)
+            if inter and K.area(inter) > 0:
+                outs.append(wkb.rings_wkb(inter))
+                keep.append(i)
+        res = a_pdf.iloc[keep].copy()
+        res[geom] = outs
+        return res
+
+    return (a.groupBy("cell")
+             .cogroup(b.groupBy("cell"))
+             .applyInPandas(do_clip, out_schema))
+
+
+# ------------------------------------------- precedence (A5/A6)
+
+def insert_difference(existing: DataFrame | None, src: DataFrame,
+                      geom: str = "geom", grid: float = GRID,
+                      sliver: float = SLIVER_AREA) -> DataFrame:
+    """A5 insert_difference: the part of `src` NOT already covered by
+    `existing`, per cell (/root/reference/sql/insert_difference.sql).
+    Both inputs must already be tiled (have `cell`). Returns only the
+    NEW rows (src attrs, differenced geom); the caller accumulates.
+
+    Blockers per cell = union of existing geoms (equivalent to the
+    reference's per-src-id union of intersecting outputs,
+    insert_difference.sql:45-53, because differencing against
+    non-intersecting geometry is a no-op). Slivers with area <= 10 m^2
+    are discarded (insert_difference.sql:75)."""
+    if existing is None:
+        return src
+    out_schema = _schema_of(src)
+    ex = existing.select("cell", F.col(geom).alias("_egeom"))
+
+    def do_diff(key, s_pdf: pd.DataFrame, e_pdf: pd.DataFrame):
+        if len(s_pdf) == 0:
+            return s_pdf
+        if len(e_pdf) == 0:
+            return s_pdf
+        blockers = [r for buf in e_pdf["_egeom"]
+                    for r in wkb.parse_rings(bytes(buf))]
+        outs, keep = [], []
+        for i, buf in enumerate(s_pdf[geom]):
+            rings = wkb.parse_rings(bytes(buf))
+            d = K.difference(rings, blockers, grid)
+            if d and K.area(d) > sliver:
+                outs.append(wkb.rings_wkb(d))
+                keep.append(i)
+        res = s_pdf.iloc[keep].copy()
+        res[geom] = outs
+        return res
+
+    return (src.groupBy("cell")
+               .cogroup(ex.groupBy("cell"))
+               .applyInPandas(do_diff, out_schema))
+
+
+# -------------------------------------------------- planarize (A7)
+
+PLANARIZE_SCHEMA = (
+    "cell string, geom binary, designation array<string>, "
+    "src_id array<string>, process_order array<int>, "
+    "forest_restriction_max int, og_restriction_max int, "
+    "mine_restriction_max int, area_m2 double, rep_x double, rep_y double")
+
+
+def planarize(designations: DataFrame, boundary: DataFrame,
+              grid: float = GRID) -> DataFrame:
+    """A7 planarize: faces of the arrangement of designation polygons +
+    land boundary per cell, with ordered attribute arrays and max
+    restrictions (/root/reference/sql/create_designations_planarized.sql).
+
+    Both inputs must be tiled (`cell` column). Output faces cover
+    exactly the land area; faces with no designation get empty arrays
+    and 0 restrictions (LEFT JOIN + COALESCE semantics, :54-61).
+    Attribute arrays are ordered by (process_order, src_id) — the
+    reference's array_agg order with our documented deterministic
+    tiebreak (SURVEY §2 F3)."""
+    d = designations.select(
+        "cell", "designation", "src_id", "process_order",
+        "forest_restriction", "og_restriction", "mine_restriction", "geom")
+    b = boundary.select("cell", F.col("geom").alias("_bgeom"))
+
+    def do_planarize(key, d_pdf: pd.DataFrame, b_pdf: pd.DataFrame):
+        cols = PLANARIZE_SCHEMA.split(", ")
+        empty = pd.DataFrame({c.split(" ")[0]: [] for c in cols})
+        if len(b_pdf) == 0:
+            return empty
+        nd = len(d_pdf)
+        tagged = [(i, wkb.parse_rings(bytes(buf)))
+                  for i, buf in enumerate(d_pdf["geom"])]
+        tagged += [(nd + j, wkb.parse_rings(bytes(buf)))
+                   for j, buf in enumerate(b_pdf["_bgeom"])]
+        faces = K.planarize(tagged, grid)
+        rows = []
+        for f in faces:
+            d_ids = [t for t in f.labels if t < nd]
+            if not any(t >= nd for t in f.labels):
+                continue  # face outside land boundary
+            sub = d_pdf.iloc[d_ids]
+            order = sorted(
+                range(len(sub)),
+                key=lambda i: (int(sub["process_order"].iloc[i]),
+                               str(sub["src_id"].iloc[i])))
+            rows.append({
+                "cell": key[0],
+                "geom": wkb.rings_wkb(f.rings),
+                "designation":
+                    [str(sub["designation"].iloc[i]) for i in order],
+                "src_id": [str(sub["src_id"].iloc[i]) for i in order],
+                "process_order":
+                    [int(sub["process_order"].iloc[i]) for i in order],
+                "forest_restriction_max":
+                    int(sub["forest_restriction"].max()) if d_ids else 0,
+                "og_restriction_max":
+                    int(sub["og_restriction"].max()) if d_ids else 0,
+                "mine_restriction_max":
+                    int(sub["mine_restriction"].max()) if d_ids else 0,
+                "area_m2": f.area_m2,
+                "rep_x": f.rep_x,
+                "rep_y": f.rep_y,
+            })
+        return pd.DataFrame(rows) if rows else empty
+
+    return (d.groupBy("cell")
+             .cogroup(b.groupBy("cell"))
+             .applyInPandas(do_planarize, PLANARIZE_SCHEMA))

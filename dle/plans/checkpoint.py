@@ -1,0 +1,85 @@
+"""Per-partition lineage + metrics checkpoint manifest (north rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+The Spark-idiomatic analogue of the reference's stage-level
+"already loaded" skips (/root/reference/designatedlands.py:503,
+:549-561) and sha-named download dirs (:167), but finer grained: one
+manifest row per (stage, cell) with the input fingerprint, row count
+and wall time. On resume, completed cells are pruned from the input
+BEFORE the expensive kernel UDFs run (the filter lands under the
+explode in the plan), so a killed job redoes only unfinished cells.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class Manifest:
+    def __init__(self, root: str):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _path(self, stage: str) -> Path:
+        return self.root / f"{stage}.manifest.jsonl"
+
+    def rows(self, stage: str) -> list[dict]:
+        p = self._path(stage)
+        if not p.exists():
+            return []
+        return [json.loads(ln) for ln in p.read_text().splitlines() if ln]
+
+    def done_cells(self, stage: str, fingerprint: str) -> set[str]:
+        return {r["cell"] for r in self.rows(stage)
+                if r["fingerprint"] == fingerprint and r["status"] == "ok"}
+
+    def stale(self, stage: str, fingerprint: str) -> bool:
+        return any(r["fingerprint"] != fingerprint
+                   for r in self.rows(stage))
+
+    def append(self, stage: str, recs: list[dict]) -> None:
+        with self._path(stage).open("a") as f:
+            for r in recs:
+                f.write(json.dumps(r) + "\n")
+
+    def clear(self, stage: str) -> None:
+        self._path(stage).unlink(missing_ok=True)
+
+
+def run_stage(spark, manifest: Manifest, stage: str, fingerprint: str,
+              build_df, out_root: str,
+              partition_col: str = "cell") -> DataFrame:
+    """Compute-or-resume one pipeline stage.
+
+    ``build_df(skip_cells: set[str]) -> DataFrame`` must prune the given
+    completed cells as early as possible in its plan. Output parquet is
+    partitioned by cell; a changed fingerprint invalidates everything.
+    """
+    out_dir = Path(out_root) / stage
+    if manifest.stale(stage, fingerprint):
+        manifest.clear(stage)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    done = manifest.done_cells(stage, fingerprint)
+    df = build_df(done)
+    t0 = time.perf_counter()
+    if done:
+        df = df.filter(~F.col(partition_col).isin(list(done)))
+    (df.write.mode("append").partitionBy(partition_col)
+       .parquet(str(out_dir)))
+    wall_ms = int(1000 * (time.perf_counter() - t0))
+    result = spark.read.parquet(str(out_dir))
+    new_counts = [r for r in
+                  result.groupBy(partition_col).count().collect()
+                  if r[partition_col] not in done]
+    recs = [{"stage": stage, "cell": r[partition_col],
+             "fingerprint": fingerprint, "rows": r["count"],
+             "wall_ms": wall_ms, "status": "ok",
+             "ts": int(time.time())} for r in new_counts]
+    if recs:
+        manifest.append(stage, recs)
+    return result

@@ -1,0 +1,112 @@
+"""End-to-end vector pipeline — the `process-vector` analogue
+(SURVEY §3.1): designation layers -> land clip + attribute stamping
+(A4) -> precedence overlay (A5 loop) -> planarize (A7) -> qa rollups.
+
+The precedence loop is inherently layer-serial (each layer may only
+claim space not already claimed — /root/reference/designatedlands.py:
+693-707); each iteration is one wide Spark job over all cells, and the
+accumulating output is localCheckpoint()ed per layer to keep lineage
+flat (SURVEY §7 "Sequential precedence loop").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import datagen
+from ..config import DEFAULT_DEPTH
+from ..operators.overlay import (
+    clip, dissolve, insert_difference, planarize, tile_geoms, with_area,
+)
+
+REG_KEYS = ["designation", "src_id", "src_name", "process_order",
+            "forest_restriction", "og_restriction", "mine_restriction"]
+
+
+@dataclass
+class VectorOutputs:
+    layers: DataFrame
+    boundary_tiled: DataFrame
+    overlapping: DataFrame     # A4: land-clipped, attribute-stamped
+    designatedlands: DataFrame  # A5: non-overlapping precedence layer
+    planarized: DataFrame      # A7: faces w/ attribute arrays
+
+
+def process_vector(spark: SparkSession, sf_dir: str,
+                   depth: int = DEFAULT_DEPTH) -> VectorOutputs:
+    layers = datagen.layers_poly(spark, sf_dir)
+    boundary = datagen.boundary_land(spark)
+    boundary_t = tile_geoms(boundary, depth).select("cell", "geom")
+
+    # A4 create_designations_overlapping: clip each layer to land, then
+    # dissolve per (registry attrs, cell) — constants stamped from the
+    # registry ride along as group keys
+    # (/root/reference/sql/create_designations_overlapping.sql:22-67).
+    clipped = clip(layers.select(*REG_KEYS, "geom"), boundary, depth)
+    overlapping = dissolve(clipped, ["cell"] + REG_KEYS)
+
+    # A5/A6 precedence loop in ascending process_order. Layers are
+    # pre-dissolved per (cell, designation) first — the reference's
+    # aggregated_insert_difference semantics (sql/
+    # aggregated_insert_difference.sql:25-29): without this, two
+    # same-layer features with different src_id could overlap each
+    # other in the output.
+    agg_src = dissolve(overlapping,
+                       ["cell", "designation", "process_order"])
+    orders = sorted(r[0] for r in
+                    agg_src.select("process_order").distinct()
+                    .collect())
+    acc: DataFrame | None = None
+    for po in orders:
+        src = agg_src.filter(F.col("process_order") == po)
+        new = insert_difference(acc, src)
+        acc = new if acc is None else acc.unionByName(new)
+        acc = acc.localCheckpoint(eager=False)
+    designatedlands = acc
+
+    # A7 planarize.
+    planarized = planarize(overlapping, boundary_t)
+
+    return VectorOutputs(layers, boundary_t, overlapping,
+                         designatedlands, planarized)
+
+
+def qa_rollups(out: VectorOutputs) -> dict:
+    """The reference's golden QA invariants as numbers
+    (/root/reference/sql/qa.sql):
+
+      total_land        — dissolved land-boundary area (ha)
+      total_planarized  — sum of face areas (must ~= total_land, :42-43)
+      per_designation   — overlapping vs precedence area per designation
+      per_class_sums    — per restriction class, sum over levels of face
+                          area (each must ~= total_land, :190-213)
+    """
+    land = with_area(out.boundary_tiled)
+    total_land = land.agg(F.sum("area_m2")).collect()[0][0] / 1e4
+
+    total_plan = out.planarized.agg(
+        F.sum("area_m2")).collect()[0][0] / 1e4
+
+    over = with_area(out.overlapping).groupBy("designation").agg(
+        (F.sum("area_m2") / 1e4).alias("overlapping_ha"))
+    prec = with_area(out.designatedlands).groupBy("designation").agg(
+        (F.sum("area_m2") / 1e4).alias("precedence_ha"))
+    per_desig = {
+        r["designation"]: (r["overlapping_ha"], r["precedence_ha"])
+        for r in over.join(prec, "designation", "outer").collect()}
+
+    per_class = {}
+    for c in ("forest_restriction_max", "og_restriction_max",
+              "mine_restriction_max"):
+        rows = out.planarized.groupBy(c).agg(
+            (F.sum("area_m2") / 1e4).alias("ha")).collect()
+        per_class[c] = {r[c]: r["ha"] for r in rows}
+
+    return {
+        "total_land_ha": total_land,
+        "total_planarized_ha": total_plan,
+        "per_designation_ha": per_desig,
+        "per_class_ha": per_class,
+    }

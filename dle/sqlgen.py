@@ -89,8 +89,8 @@ captures as (
 ),
 points as (
   select p.page_id, p.url, p.h64, p.hy, c.cand_i,
-         {XMIN!r} + ((p.h64 + c.cand_i * 7919) % {WIDTH_I}) + 0.5 as px,
-         {YMIN!r} + ((p.hy + c.cand_i * 104729) % {HEIGHT_I}) + 0.5 as py
+         cast({XMIN!r} as double) + ((p.h64 + c.cand_i * 7919) % {WIDTH_I}) + 0.5 as px,
+         cast({YMIN!r} as double) + ((p.hy + c.cand_i * 104729) % {HEIGHT_I}) + 0.5 as py
   from pages p join {cand}
     on c.cand_i < (case when p.h64 % 10 = 0
                         then 2 + cast(p.h64 % 2 as int) else 1 end)
@@ -114,11 +114,11 @@ _l5 as (
   select feat_id, r1, r2, r3, r4, r5,
          cast(feat_id % 8 as int) + 1 as process_order,
          case when feat_id % 5 = 0
-              then {XMIN!r} + 250000 + (r1 % 150000) + 0.5
-              else {XMIN!r} + (r1 % {WIDTH_I - 50000}) + 0.5 end as x0,
+              then cast({XMIN!r} as double) + 250000 + (r1 % 150000) + 0.5
+              else cast({XMIN!r} as double) + (r1 % {WIDTH_I - 50000}) + 0.5 end as x0,
          case when feat_id % 5 = 0
-              then {YMIN!r} + 900000 + (r2 % 150000) + 0.5
-              else {YMIN!r} + (r2 % {HEIGHT_I - 50000}) + 0.5 end as y0,
+              then cast({YMIN!r} as double) + 900000 + (r2 % 150000) + 0.5
+              else cast({YMIN!r} as double) + (r2 % {HEIGHT_I - 50000}) + 0.5 end as y0,
          500 + (r3 % 49500) as w,
          500 + (r4 % 49500) as h
   from _l4
@@ -138,12 +138,43 @@ layers as (
 )"""
 
 
-def preamble(dialect: str, *, pages: bool = True, layers: bool = True) -> str:
+def bands_ctes(dialect: str) -> str:
+    """CTEs ending in ``bands``: heavily-overlapping x-intervals inside
+    disjoint y-bands, one band family per designation. The engine
+    dissolves these as real 2-D polygons through the geometry kernel;
+    the oracle computes the identical union area as 1-D interval
+    islands (classic gaps-and-islands SQL) — a gate-checkable proof of
+    the dissolve operator (SURVEY §2 A2/F1)."""
+    return f"""
+_b0 as (
+  select doc_id as feat_id,
+         (cast(doc_id as bigint) * 16807 + 7) % {M31} as s1
+  from documents
+),
+_b1 as (select *, (s1 * 16807 + 13) % {M31} as s2 from _b0),
+bands as (
+  select feat_id,
+         cast(feat_id % 8 as int) + 1 as process_order,
+         concat('desig_', lpad(cast(cast(feat_id % 8 as int) + 1 as string),
+                2, '0')) as designation,
+         cast(feat_id % 16 as int) as band,
+         cast({XMIN!r} as double) + (s1 % 1200000) + 0.5 as bx0,
+         cast({YMIN!r} as double) + cast(feat_id % 16 as int) * 80000 + 0.5 as by0,
+         cast({XMIN!r} as double) + (s1 % 1200000) + 0.5 + 2000 + (s2 % 200000) as bx1,
+         cast({YMIN!r} as double) + cast(feat_id % 16 as int) * 80000 + 40000.5 as by1
+  from _b1
+)"""
+
+
+def preamble(dialect: str, *, pages: bool = True, layers: bool = True,
+             bands: bool = False) -> str:
     parts = []
     if pages:
         parts.append(pages_ctes(dialect))
     if layers:
         parts.append(layers_ctes(dialect))
+    if bands:
+        parts.append(bands_ctes(dialect))
     return "with " + ",".join(parts)
 
 

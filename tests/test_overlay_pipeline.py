@@ -1,0 +1,128 @@
+"""End-to-end vector pipeline at sf0.001: the reference's qa.sql golden
+invariants as assertions (SURVEY §5 item 2), plus operator-level checks.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dle import datagen
+from dle.geom import kernel as K
+from dle.geom import wkb
+from dle.operators.overlay import dissolve, tile_geoms, with_area
+from dle.plans.pipeline import process_vector, qa_rollups
+
+SF = "/root/testdata/sf0.001"
+DEPTH = 3  # 8x8 cells — keeps the tiny-sf pipeline fast
+
+
+@pytest.fixture(scope="module")
+def outputs(spark):
+    return process_vector(spark, SF, depth=DEPTH)
+
+
+@pytest.fixture(scope="module")
+def qa(outputs):
+    return qa_rollups(outputs)
+
+
+def test_planarized_total_equals_land(qa):
+    """qa.sql:42-43 — planarized faces tile the land exactly."""
+    assert qa["total_planarized_ha"] == pytest.approx(
+        qa["total_land_ha"], rel=1e-6)
+
+
+def test_restriction_class_sums_equal_land(qa):
+    """qa.sql:190-213 — each class's level areas sum to total land."""
+    for cls, levels in qa["per_class_ha"].items():
+        assert sum(levels.values()) == pytest.approx(
+            qa["total_land_ha"], rel=1e-6), cls
+
+
+def test_precedence_areas_le_overlapping(qa):
+    """precedence output is the non-overlapping partition of each
+    designation's claim: per designation it can never exceed the
+    dissolved overlapping area."""
+    for d, (over_ha, prec_ha) in qa["per_designation_ha"].items():
+        assert prec_ha <= over_ha * (1 + 1e-9), d
+        assert prec_ha > 0, d
+
+
+def test_precedence_total_equals_union(outputs, spark):
+    """The precedence layer partitions the union of all designations:
+    sum(precedence areas) == area(union of overlapping), and pieces
+    never overlap (checked via pairwise area additivity per cell)."""
+    prec_total = with_area(outputs.designatedlands).agg(
+        F.sum("area_m2")).collect()[0][0]
+    union_per_cell = dissolve(
+        outputs.overlapping.select("cell", "geom"), ["cell"])
+    union_total = with_area(union_per_cell).agg(
+        F.sum("area_m2")).collect()[0][0]
+    assert prec_total == pytest.approx(union_total, rel=1e-6)
+
+
+def test_planarize_first_designation_wins_matches_precedence(outputs):
+    """Cross-operator consistency: summing face areas by the FIRST
+    designation in the (process_order-sorted) array must reproduce the
+    A5 precedence per-designation areas — two totally different
+    implementations of the same semantics."""
+    faces = outputs.planarized.where(F.size("designation") > 0)
+    by_first = {
+        r["d"]: r["ha"]
+        for r in faces.groupBy(F.col("designation")[0].alias("d"))
+        .agg((F.sum("area_m2")).alias("ha")).collect()}
+    prec = {
+        r["designation"]: r["ha"]
+        for r in with_area(outputs.designatedlands)
+        .groupBy("designation").agg(F.sum("area_m2").alias("ha"))
+        .collect()}
+    assert set(by_first) == set(prec)
+    for d in prec:
+        assert by_first[d] == pytest.approx(prec[d], rel=1e-6), d
+
+
+def test_tile_geoms_conserves_area(spark):
+    lay = datagen.layers_poly(spark, SF).limit(30)
+    tiled = tile_geoms(lay, DEPTH)
+    # oracle: per-feature VALID area (bowties have signed shoelace ~0
+    # until repaired, so repair first — same rule tiling applies)
+    a0 = sum(
+        K.boolean_area(wkb.parse_rings(bytes(r["geom"])), [], "a", 0.1)
+        for r in lay.select("geom").collect())
+    a1 = with_area(tiled).agg(F.sum("area_m2")).collect()[0][0]
+    # snapping at tile edges moves area by O(grid * perimeter) at most
+    assert a1 == pytest.approx(a0, rel=1e-4)
+
+
+def test_bowtie_features_are_repaired(outputs):
+    """FIXTURES §3(d): invalid bowties must come out valid — every
+    overlapping geom reassembles with nonneg shell areas."""
+    rows = outputs.overlapping.select("geom").limit(200).collect()
+    assert rows
+    for r in rows:
+        rings = wkb.parse_rings(bytes(r["geom"]))
+        total = K.area(rings)
+        assert total > 0
+
+
+def test_pipeline_partition_invariance(spark, outputs):
+    """local[2]-vs-local[8] analogue within one session: the planarized
+    rollup is identical under different shuffle partitioning."""
+    def face_rows(df):
+        return sorted(
+            (r["cell"], tuple(r["designation"]), round(r["area_m2"], 4))
+            for r in df.select("cell", "designation", "area_m2")
+            .collect())
+
+    a = face_rows(outputs.planarized)
+    b = face_rows(outputs.planarized.repartition(17))
+    assert a == b
+    # and cell-level sums agree to float-fold tolerance
+    s = {r["cell"]: r["ha"] for r in outputs.planarized.groupBy("cell")
+         .agg(F.sum("area_m2").alias("ha")).collect()}
+    t = {r["cell"]: r["ha"]
+         for r in outputs.planarized.repartition(17).groupBy("cell")
+         .agg(F.sum("area_m2").alias("ha")).collect()}
+    for c in s:
+        assert s[c] == pytest.approx(t[c], rel=1e-12)
