@@ -36,6 +36,17 @@ HEADLINE = [
     "text_bytes_invariant",
     "rel_pricing_summary",
     "rel_top_orders_per_cust",
+    "overlay_dissolve_area_1d",
+    "overlay_precedence_area_1d",
+    "overlay_planarize_coverage_1d",
+    "dedup_exact",
+    "dedup_minhash_buckets",
+    "dedup_simhash",
+    "text_stats",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "events_window_stats",
+    "asof_click_purchase",
 ]
 
 

@@ -1,0 +1,50 @@
+"""As-of (merge_asof) join — SURVEY §2 E-note: exposed because the
+target input is timestamped (warc_ts latest-capture semantics) even
+though the reference has no temporal joins.
+
+Cogrouped pandas implementation with numpy searchsorted: both sides
+shuffle once on the equi-key, then each group is a sorted-array binary
+search — no window spill, no range-join blowup. The right side's
+columns (minus key/ts) are appended; unmatched left rows get nulls
+(left-outer semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str, right_ts: str,
+              direction: str = "backward") -> DataFrame:
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+    extra = [c for c in right.columns if c not in (on,)]
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in left.schema.fields]
+        + [f"`{c}` {right.schema[c].dataType.simpleString()}"
+           for c in extra])
+
+    def merge(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame):
+        if len(lpdf) == 0:
+            return pd.DataFrame(columns=list(lpdf.columns) + extra)
+        out = lpdf.copy()
+        if len(rpdf) == 0:
+            for c in extra:
+                out[c] = None
+            return out
+        r = rpdf.sort_values(right_ts, kind="mergesort")
+        rts = r[right_ts].to_numpy()
+        idx = np.searchsorted(rts, lpdf[left_ts].to_numpy(),
+                              side="right") - 1
+        for c in extra:
+            vals = r[c].to_numpy()
+            col = np.where(idx >= 0, vals[np.clip(idx, 0, None)], None)
+            out[c] = col
+        return out
+
+    return (left.groupBy(on)
+            .cogroup(right.groupBy(on))
+            .applyInPandas(merge, schema))

@@ -293,6 +293,9 @@ def o_rel_top_orders_per_cust():
    from orders) t where rn <= 3"""
 
 
+from .queries_kernel import KERNEL_QUERIES  # noqa: E402
+from .queries_text import TEXT_QUERIES  # noqa: E402
+
 QUERIES = {
     "spatial_cell_assign": (q_spatial_cell_assign, o_spatial_cell_assign),
     "spatial_pip_join": (q_spatial_pip_join, o_spatial_pip_join),
@@ -310,6 +313,8 @@ QUERIES = {
     "rel_pricing_summary": (q_rel_pricing_summary, o_rel_pricing_summary),
     "rel_top_orders_per_cust": (q_rel_top_orders_per_cust,
                                 o_rel_top_orders_per_cust),
+    **KERNEL_QUERIES,
+    **TEXT_QUERIES,
 }
 
 

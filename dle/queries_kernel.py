@@ -1,0 +1,153 @@
+"""Gate-checkable geometry-kernel queries.
+
+These run the REAL WKB kernel operators (dissolve A2, precedence
+difference A5, planarize A7) on band fixtures whose union/difference/
+arrangement areas are also computable as 1-D interval algebra in plain
+SQL (gaps-and-islands) — so the driver's DuckDB oracle verifies the
+2-D slab kernel end-to-end, not just a SQL restatement.
+
+All outputs are integral areas cast to BIGINT: band coordinates are
+integral doubles, every interval length is an integer number of
+meters, so rounding the kernel's float area to the nearest integer is
+exact (see sqlgen module docstring for the determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import datagen, sqlgen
+from .operators.overlay import dissolve, insert_difference, with_area
+from .sqlgen import preamble
+
+BAND_H = 40000.0
+
+
+def _bands_wkb(spark, sf):
+    return datagen.bands_1d(spark, sf)
+
+
+def q_dissolve_area_1d(spark, sf):
+    """A2/F1 dissolve through the slab kernel; oracle = 1-D islands."""
+    b = _bands_wkb(spark, sf).select("designation", "band", "geom")
+    d = dissolve(b, ["designation", "band"])
+    return with_area(d).select(
+        "designation", "band",
+        F.round("area_m2", 0).cast("bigint").alias("area_m2"))
+
+
+def o_dissolve_area_1d():
+    return (preamble("duckdb", pages=False, layers=False, bands=True) + f"""
+ , marked as (
+   select designation, band, bx0, bx1,
+          case when bx0 > max(bx1) over (
+                 partition by designation, band order by bx0, bx1
+                 rows between unbounded preceding and 1 preceding)
+               then 1 else 0 end as brk
+   from bands),
+ grp as (select *, sum(brk) over (
+           partition by designation, band order by bx0, bx1
+           rows unbounded preceding) as g from marked),
+ islands as (select designation, band, g, min(bx0) as x0, max(bx1) as x1
+             from grp group by designation, band, g)
+ select designation, band,
+        cast(round(sum((x1 - x0) * {BAND_H!r}), 0) as bigint) as area_m2
+ from islands group by designation, band""")
+
+
+def q_precedence_area_1d(spark, sf):
+    """A5/A6 precedence loop through insert_difference (band = cell);
+    oracle = per-band prefix-union interval lengths."""
+    b = _bands_wkb(spark, sf).withColumn(
+        "cell", F.col("band").cast("string"))
+    agg = dissolve(b.select("cell", "designation", "process_order", "geom"),
+                   ["cell", "designation", "process_order"])
+    acc = None
+    for po in range(1, 9):
+        src = agg.filter(F.col("process_order") == po)
+        new = insert_difference(acc, src)
+        acc = new if acc is None else acc.unionByName(new)
+        acc = acc.localCheckpoint(eager=False)
+    return with_area(acc).groupBy("designation").agg(
+        F.round(F.sum("area_m2"), 0).cast("bigint").alias("area_m2"))
+
+
+def o_precedence_area_1d():
+    k = sqlgen.series(8, "k", "i", "duckdb")
+    return (preamble("duckdb", pages=False, layers=False, bands=True) + f"""
+ , expanded as (
+   select b.band, k.i + 1 as kk, b.bx0, b.bx1
+   from bands b, {k} where b.process_order <= k.i + 1),
+ marked as (
+   select band, kk, bx0, bx1,
+          case when bx0 > max(bx1) over (
+                 partition by band, kk order by bx0, bx1
+                 rows between unbounded preceding and 1 preceding)
+               then 1 else 0 end as brk
+   from expanded),
+ grp as (select *, sum(brk) over (
+           partition by band, kk order by bx0, bx1
+           rows unbounded preceding) as g from marked),
+ islands as (select band, kk, g, min(bx0) as x0, max(bx1) as x1
+             from grp group by band, kk, g),
+ lens as (select band, kk, sum(x1 - x0) as len from islands
+          group by band, kk),
+ deltas as (select band, kk,
+                   len - coalesce(lag(len) over (
+                     partition by band order by kk), 0.0) as dl
+            from lens)
+ select concat('desig_', lpad(cast(kk as string), 2, '0')) as designation,
+        cast(round(sum(dl) * {BAND_H!r}, 0) as bigint) as area_m2
+ from deltas group by kk""")
+
+
+def q_planarize_coverage_1d(spark, sf):
+    """A7 planarize faces through the slab kernel, rolled up by how
+    many distinct designations cover each face; oracle = per-segment
+    distinct-count over interval boundaries."""
+    import pandas as pd
+
+    from .geom import kernel as K
+    from .geom import wkb as W
+
+    b = _bands_wkb(spark, sf).select("band", "process_order", "geom")
+
+    def per_band(pdf: pd.DataFrame) -> pd.DataFrame:
+        tagged = [(int(po) - 1, W.parse_rings(bytes(g)))
+                  for po, g in zip(pdf["process_order"], pdf["geom"])]
+        faces = K.planarize(tagged, grid=0.1, with_rings=False)
+        return pd.DataFrame(
+            {"n_desigs": [len(f.labels) for f in faces],
+             "area_m2": [f.area_m2 for f in faces]})
+
+    faces = b.groupBy("band").applyInPandas(
+        per_band, "n_desigs int, area_m2 double")
+    return faces.groupBy("n_desigs").agg(
+        F.round(F.sum("area_m2"), 0).cast("bigint").alias("area_m2"))
+
+
+def o_planarize_coverage_1d():
+    return (preamble("duckdb", pages=False, layers=False, bands=True) + f"""
+ , pts as (select distinct band, bx0 as x from bands
+           union select distinct band, bx1 from bands),
+ segs as (select band, x as sx0,
+                 lead(x) over (partition by band order by x) as sx1
+          from pts),
+ cov as (select s.band, s.sx0, s.sx1,
+                count(distinct b.process_order) as nd
+         from segs s join bands b
+           on b.band = s.band and b.bx0 <= s.sx0 and b.bx1 >= s.sx1
+         where s.sx1 is not null
+         group by s.band, s.sx0, s.sx1)
+ select cast(nd as int) as n_desigs,
+        cast(round(sum((sx1 - sx0) * {BAND_H!r}), 0) as bigint) as area_m2
+ from cov group by nd""")
+
+
+KERNEL_QUERIES = {
+    "overlay_dissolve_area_1d": (q_dissolve_area_1d, o_dissolve_area_1d),
+    "overlay_precedence_area_1d": (q_precedence_area_1d,
+                                   o_precedence_area_1d),
+    "overlay_planarize_coverage_1d": (q_planarize_coverage_1d,
+                                      o_planarize_coverage_1d),
+}

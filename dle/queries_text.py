@@ -1,0 +1,462 @@
+"""Web-scale training-data pipeline operators over documents/embeddings
+(round-brief requirement: dedup, similarity search, text analysis) —
+each with a DuckDB oracle twin.
+
+Cross-engine conventions: md5 is the only string hash; token = single
+space split (verified identical incl. empty tokens); marker counts use
+non-overlapping left-to-right replace() semantics (identical in Spark,
+DuckDB, and Python str.count).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from .sqlgen import hex2int, register_tables
+
+M31 = 2147483647
+
+
+# ------------------------------------------------------------- dedup
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy on md5(text); keeper = min doc_id."""
+    register_tables(spark, sf)
+    return (spark.table("documents")
+            .groupBy(F.md5("text").alias("text_md5"))
+            .agg(F.min("doc_id").alias("keeper_doc_id"),
+                 F.count(F.lit(1)).alias("n_dups")))
+
+
+def o_dedup_exact():
+    return """
+ select md5(text) as text_md5, min(doc_id) as keeper_doc_id,
+        cast(count(*) as bigint) as n_dups
+ from documents group by md5(text)"""
+
+
+def q_dedup_minhash_buckets(spark, sf):
+    """MinHash+LSH: 8 word-level minhash permutations, banded 2-per-band
+    into 4 LSH buckets per doc; emits buckets holding >1 doc (candidate
+    near-dup groups). Engine path: explode -> JVM md5 -> map-side-
+    combinable min -> band pivot. No Python in the hot path."""
+    register_tables(spark, sf)
+    tok = spark.table("documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = F.expr("cast(conv(substring(md5(concat(tok, '#', cast(p as string)))"
+               ", 1, 15), 16, 10) as bigint)")
+    mh = (tok.crossJoin(spark.range(8).select(F.col("id").alias("p")))
+             .select("doc_id", "p", h.alias("h"))
+             .groupBy("doc_id", "p").agg(F.min("h").alias("mh")))
+    band = (mh.withColumn("band", F.floor(F.col("p") / 2).cast("int"))
+              .withColumn("slot", (F.col("p") % 2).cast("int"))
+              .groupBy("doc_id", "band")
+              .agg(F.min(F.when(F.col("slot") == 0, F.col("mh")))
+                   .alias("mh0"),
+                   F.min(F.when(F.col("slot") == 1, F.col("mh")))
+                   .alias("mh1")))
+    buckets = band.groupBy(
+        "band",
+        F.concat_ws("_", "mh0", "mh1").alias("bucket")).agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    return buckets.where(F.col("n_docs") > 1)
+
+
+def o_dedup_minhash_buckets():
+    h = hex2int("concat(t.tok, '#', cast(p.i as string))", "duckdb")
+    return f"""
+ with tok as (
+   select doc_id, unnest(string_split(text, ' ')) as tok from documents),
+ mh as (
+   select t.doc_id, p.i as p, min({h}) as mh
+   from tok t, (select unnest(generate_series(0, 7)) as i) p
+   group by t.doc_id, p.i),
+ band as (
+   select doc_id, cast(floor(p / 2) as int) as band,
+          min(case when p % 2 = 0 then mh end) as mh0,
+          min(case when p % 2 = 1 then mh end) as mh1
+   from mh group by doc_id, cast(floor(p / 2) as int)),
+ buckets as (
+   select band, concat(cast(mh0 as string), '_', cast(mh1 as string))
+            as bucket,
+          cast(count(distinct doc_id) as bigint) as n_docs
+   from band group by 1, 2)
+ select band, bucket, n_docs from buckets where n_docs > 1"""
+
+
+def _simhash_py(text: str) -> int:
+    w = np.zeros(16, dtype=np.int64)
+    for tok in text.split(" "):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        for i in range(16):
+            w[i] += 1 if (h >> i) & 1 else -1
+    return int(sum(1 << i for i in range(16) if w[i] > 0))
+
+
+def q_dedup_simhash(spark, sf):
+    """SimHash fingerprint (16-bit) — vectorized pandas UDF engine path
+    (Arrow batches; per-token md5 identical to SQL md5)."""
+    register_tables(spark, sf)
+    sim = F.pandas_udf(
+        lambda s: s.map(_simhash_py), "int")
+    return (spark.table("documents")
+            .select("doc_id", sim("text").alias("simhash")))
+
+
+def o_dedup_simhash():
+    h = hex2int("t.tok", "duckdb")
+    bits = " + ".join(
+        f"(case when sum(case when ((h >> {i}) & 1) = 1 then 1 else -1 "
+        f"end) > 0 then {1 << i} else 0 end)" for i in range(16))
+    return f"""
+ with tok as (
+   select doc_id, unnest(string_split(text, ' ')) as tok from documents),
+ hs as (select t.doc_id, {h} as h from tok t)
+ select doc_id, cast({bits} as int) as simhash
+ from hs group by doc_id"""
+
+
+def q_text_fingerprint(spark, sf):
+    """n-gram/rolling-hash style doc fingerprint: min token hash +
+    distinct token count."""
+    register_tables(spark, sf)
+    tok = spark.table("documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = F.expr(
+        "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)")
+    return tok.groupBy("doc_id").agg(
+        F.min(h).alias("fingerprint"),
+        F.countDistinct("tok").alias("n_distinct_tokens"))
+
+
+def o_text_fingerprint():
+    h = hex2int("tok", "duckdb")
+    return f"""
+ with tok as (
+   select doc_id, unnest(string_split(text, ' ')) as tok from documents)
+ select doc_id, min({h}) as fingerprint,
+        cast(count(distinct tok) as bigint) as n_distinct_tokens
+ from tok group by doc_id"""
+
+
+# ------------------------------------------------------ text analysis
+
+_MARKERS = [("en", " the "), ("fr", " le "), ("de", " der "),
+            ("es", " el "), ("zh", "的")]
+
+
+def q_text_stats(spark, sf):
+    """Token/quality stats — engine path is a vectorized pandas batch
+    (Arrow), matching SQL replace() counting semantics exactly."""
+    register_tables(spark, sf)
+
+    def batch(it):
+        for pdf in it:
+            s = pdf["text"]
+            n_chars = s.str.len().astype("int64")
+            n_tokens = s.str.count(" ").astype("int64") + 1
+            padded = " " + s + " "
+            n_the = padded.str.count(" the ").astype("int64")
+            nospace = s.str.replace(" ", "", regex=False).str.len()
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "n_the": n_the,
+                "quality_score": 3 * n_tokens + 7 * n_the,
+                # floor(x+.5) = SQL HALF_UP (np.round is half-even)
+                "avg_tok_len_c": np.floor(
+                    100.0 * nospace / n_tokens + 0.5).astype("int64"),
+            })
+
+    return (spark.table("documents").select("doc_id", "text")
+            .mapInPandas(batch,
+                         "doc_id bigint, n_chars bigint, n_tokens bigint,"
+                         " n_the bigint, quality_score bigint,"
+                         " avg_tok_len_c bigint"))
+
+
+def o_text_stats():
+    return """
+ with base as (
+   select doc_id, length(text) as n_chars,
+          length(text) - length(replace(text, ' ', '')) + 1 as n_tokens,
+          cast((length(concat(' ', text, ' '))
+                - length(replace(concat(' ', text, ' '), ' the ', '')))
+               / 5 as bigint) as n_the,
+          length(replace(text, ' ', '')) as nospace
+   from documents)
+ select doc_id, cast(n_chars as bigint) as n_chars,
+        cast(n_tokens as bigint) as n_tokens, n_the,
+        cast(3 * n_tokens + 7 * n_the as bigint) as quality_score,
+        cast(round(100.0 * nospace / n_tokens, 0) as bigint)
+          as avg_tok_len_c
+ from base"""
+
+
+def q_text_langid(spark, sf):
+    """Marker-token language ID with deterministic priority tiebreak
+    (en > fr > de > es > zh)."""
+    register_tables(spark, sf)
+
+    def batch(it):
+        for pdf in it:
+            padded = " " + pdf["text"] + " "
+            counts = np.stack([
+                padded.str.count(m if lang == "zh" else m)
+                .to_numpy(dtype=np.int64)
+                for lang, m in _MARKERS])
+            best = np.argmax(counts, axis=0)  # first max = priority
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "lang_pred": [_MARKERS[i][0] for i in best],
+                "marker_hits": counts.max(axis=0),
+            })
+
+    return (spark.table("documents").select("doc_id", "text", "lang")
+            .mapInPandas(batch, "doc_id bigint, lang string,"
+                         " lang_pred string, marker_hits bigint"))
+
+
+def o_text_langid():
+    cnt = {}
+    for lang, m in _MARKERS:
+        src = "concat(' ', text, ' ')"
+        cnt[lang] = (f"cast((length({src}) - length(replace({src}, "
+                     f"'{m}', ''))) / {len(m)} as bigint)")
+    c = cnt
+    return f"""
+ with base as (
+   select doc_id, lang, {c['en']} as c_en, {c['fr']} as c_fr,
+          {c['de']} as c_de, {c['es']} as c_es, {c['zh']} as c_zh
+   from documents)
+ select doc_id, lang,
+        case when c_en >= c_fr and c_en >= c_de and c_en >= c_es
+                  and c_en >= c_zh then 'en'
+             when c_fr >= c_de and c_fr >= c_es and c_fr >= c_zh
+                  then 'fr'
+             when c_de >= c_es and c_de >= c_zh then 'de'
+             when c_es >= c_zh then 'es' else 'zh' end as lang_pred,
+        greatest(c_en, c_fr, c_de, c_es, c_zh) as marker_hits
+ from base"""
+
+
+# -------------------------------------------------------- similarity
+
+def q_ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-3: query vectors (vec_id < 5) against the
+    corpus (vec_id >= 5). Engine path: broadcast the tiny query side,
+    JVM-side sequential-fold dot products (zip_with + aggregate) so the
+    accumulation order matches DuckDB's list_dot_product exactly."""
+    register_tables(spark, sf)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("v"))
+    qs = F.broadcast(
+        emb.where("vec_id < 5")
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("v").alias("q")))
+    cand = emb.where("vec_id >= 5")
+    dot = ("aggregate(zip_with(q, v, (x, y) -> x * y), 0D,"
+           " (acc, x) -> acc + x)")
+    nq = ("aggregate(zip_with(q, q, (x, y) -> x * y), 0D,"
+          " (acc, x) -> acc + x)")
+    nv = ("aggregate(zip_with(v, v, (x, y) -> x * y), 0D,"
+          " (acc, x) -> acc + x)")
+    scored = qs.crossJoin(cand).select(
+        "query_id", "vec_id",
+        F.expr(f"({dot}) / (sqrt({nq}) * sqrt({nv}))").alias("cos"))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where("rank <= 3")
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "rank", F.round("cos", 6).alias("cos_r")))
+
+
+def o_ann_cosine_topk():
+    return """
+ with emb as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+ scored as (
+   select q.vec_id as query_id, c.vec_id as neighbor_id,
+          list_dot_product(q.v, c.v)
+            / (sqrt(list_dot_product(q.v, q.v))
+               * sqrt(list_dot_product(c.v, c.v))) as cos
+   from emb q, emb c where q.vec_id < 5 and c.vec_id >= 5),
+ ranked as (
+   select query_id, neighbor_id, cos,
+          row_number() over (partition by query_id
+                             order by cos desc, neighbor_id) as rank
+   from scored)
+ select query_id, neighbor_id, cast(rank as int) as rank,
+        round(cos, 6) as cos_r
+ from ranked where rank <= 3"""
+
+
+def _hyperplanes(dim: int = 64, n: int = 8) -> list[list[float]]:
+    out = []
+    for j in range(n):
+        row = [(((j * dim + k) * 48271 + 7) % M31) / M31 - 0.5
+               for k in range(dim)]
+        out.append(row)
+    return out
+
+
+def q_ann_lsh_buckets(spark, sf):
+    """Random-hyperplane LSH (8-bit signature) — the scale path for ANN:
+    bucket by signature, search within bucket. Emits bucket histogram."""
+    register_tables(spark, sf)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("v"))
+    sig = None
+    for j, hp in enumerate(_hyperplanes()):
+        lit = "array(" + ", ".join(repr(x) for x in hp) + ")"
+        dot = (f"aggregate(zip_with(v, {lit}, (x, y) -> x * y), 0D,"
+               " (acc, x) -> acc + x)")
+        bit = F.when(F.expr(dot) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return (emb.withColumn("bucket", sig)
+               .groupBy("bucket")
+               .agg(F.count(F.lit(1)).alias("n_vecs"),
+                    F.min("vec_id").alias("min_vec_id")))
+
+
+def o_ann_lsh_buckets():
+    terms = []
+    for j, hp in enumerate(_hyperplanes()):
+        lit = "[" + ", ".join(repr(x) for x in hp) + "]"
+        terms.append(f"(case when list_dot_product(v, {lit}) > 0 "
+                     f"then {1 << j} else 0 end)")
+    sig = " + ".join(terms)
+    return f"""
+ with emb as (select vec_id, embedding::DOUBLE[] as v from embeddings)
+ select cast({sig} as int) as bucket,
+        cast(count(*) as bigint) as n_vecs,
+        min(vec_id) as min_vec_id
+ from emb group by 1"""
+
+
+# ----------------------------------------------------------- events
+
+_EPOCH_US = ("cast(unix_timestamp(ts) as bigint) * 1000000"
+             " + cast(date_format(ts, 'SSSSSS') as bigint)")
+
+
+def q_events_window_stats(spark, sf):
+    """Tumbling 1-hour window aggregation per event type (streaming-
+    shaped batch op; watermark-free because input is bounded)."""
+    register_tables(spark, sf)
+    ev = spark.table("events").select(
+        "event_type", "value",
+        F.expr("cast(floor(cast(unix_timestamp(ts) as bigint) / 3600)"
+               " as bigint)").alias("window_id"))
+    return (ev.withColumn(
+        "_c", F.round(F.col("value") * 100, 0).cast("bigint"))
+        .groupBy("window_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum("_c") / 100.0).alias("sum_value")))
+
+
+def o_events_window_stats():
+    return """
+ select cast(floor(cast(floor(epoch(ts)) as bigint) / 3600) as bigint)
+          as window_id,
+        event_type, cast(count(*) as bigint) as n,
+        cast(sum(cast(round(value * 100, 0) as bigint)) as double)
+          / 100.0 as sum_value
+ from events group by 1, 2"""
+
+
+def q_events_sessions(spark, sf):
+    """Gap-based sessionization (30-min gap) per user via window
+    functions — G1/streaming-state analogue in batch."""
+    register_tables(spark, sf)
+    spark.table("events").createOrReplaceTempView("events")
+    return spark.sql("""
+ with e as (
+   select user_id, cast(unix_timestamp(ts) as bigint) as sec from events),
+ gaps as (
+   select user_id, sec,
+          case when sec - lag(sec) over (
+                 partition by user_id order by sec) > 1800
+               then 1 else 0 end as brk
+   from e),
+ sess as (
+   select user_id,
+          sum(brk) over (partition by user_id order by sec
+                         rows unbounded preceding) as sid
+   from gaps)
+ select user_id, cast(count(distinct sid) as bigint) as n_sessions
+ from sess group by user_id""")
+
+
+def o_events_sessions():
+    return """
+ with e as (
+   select user_id, cast(floor(epoch(ts)) as bigint) as sec from events),
+ gaps as (
+   select user_id, sec,
+          case when sec - lag(sec) over (
+                 partition by user_id order by sec) > 1800
+               then 1 else 0 end as brk
+   from e),
+ sess as (
+   select user_id,
+          sum(brk) over (partition by user_id order by sec
+                         rows unbounded preceding) as sid
+   from gaps)
+ select user_id, cast(count(distinct sid) as bigint) as n_sessions
+ from sess group by user_id"""
+
+
+def q_asof_click_purchase(spark, sf):
+    """As-of join: for every purchase, the user's most recent prior
+    click — via the engine's cogrouped merge_asof operator."""
+    from .operators.asof import asof_join
+    register_tables(spark, sf)
+    ev = spark.table("events").select(
+        "event_id", "user_id", "event_type",
+        F.expr(_EPOCH_US).alias("ts_us"))
+    purchases = ev.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts_us")
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", F.col("ts_us").alias("click_ts_us"))
+    out = asof_join(purchases, clicks, on="user_id",
+                    left_ts="ts_us", right_ts="click_ts_us")
+    return out.where(F.col("click_ts_us").isNotNull()).select(
+        "event_id", "user_id", "ts_us", "click_ts_us")
+
+
+def o_asof_click_purchase():
+    return """
+ with p as (select event_id, user_id, epoch_us(ts) as ts_us
+            from events where event_type = 'purchase'),
+ c as (select user_id, epoch_us(ts) as click_ts_us
+       from events where event_type = 'click')
+ select p.event_id, p.user_id, p.ts_us,
+        max(c.click_ts_us) as click_ts_us
+ from p join c on c.user_id = p.user_id and c.click_ts_us <= p.ts_us
+ group by p.event_id, p.user_id, p.ts_us"""
+
+
+TEXT_QUERIES = {
+    "dedup_exact": (q_dedup_exact, o_dedup_exact),
+    "dedup_minhash_buckets": (q_dedup_minhash_buckets,
+                              o_dedup_minhash_buckets),
+    "dedup_simhash": (q_dedup_simhash, o_dedup_simhash),
+    "text_fingerprint": (q_text_fingerprint, o_text_fingerprint),
+    "text_stats": (q_text_stats, o_text_stats),
+    "text_langid": (q_text_langid, o_text_langid),
+    "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, o_ann_lsh_buckets),
+    "events_window_stats": (q_events_window_stats, o_events_window_stats),
+    "events_sessions": (q_events_sessions, o_events_sessions),
+    "asof_click_purchase": (q_asof_click_purchase, o_asof_click_purchase),
+}

@@ -152,17 +152,18 @@ _b0 as (
   from documents
 ),
 _b1 as (select *, (s1 * 16807 + 13) % {M31} as s2 from _b0),
+_b2 as (select *, (s2 * 16807 + 19) % {M31} as s3 from _b1),
 bands as (
   select feat_id,
          cast(feat_id % 8 as int) + 1 as process_order,
          concat('desig_', lpad(cast(cast(feat_id % 8 as int) + 1 as string),
                 2, '0')) as designation,
-         cast(feat_id % 16 as int) as band,
+         cast(s3 % 16 as int) as band,
          cast({XMIN!r} as double) + (s1 % 1200000) + 0.5 as bx0,
-         cast({YMIN!r} as double) + cast(feat_id % 16 as int) * 80000 + 0.5 as by0,
+         cast({YMIN!r} as double) + cast(s3 % 16 as int) * 80000 + 0.5 as by0,
          cast({XMIN!r} as double) + (s1 % 1200000) + 0.5 + 2000 + (s2 % 200000) as bx1,
-         cast({YMIN!r} as double) + cast(feat_id % 16 as int) * 80000 + 40000.5 as by1
-  from _b1
+         cast({YMIN!r} as double) + cast(s3 % 16 as int) * 80000 + 40000.5 as by1
+  from _b2
 )"""
 
 
