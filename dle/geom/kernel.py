@@ -417,6 +417,39 @@ def covered_by_bbox(rings: list, bx0, by0, bx1, by1) -> bool:
     return True
 
 
+def rasterize_mask(rings: list, x0: float, y0: float, res: float,
+                   nx: int, ny: int) -> np.ndarray:
+    """B1 rasterize: bool mask of pixels whose CENTER lies inside the
+    polygon (even-odd crossing test, vectorized one scanline-row batch
+    at a time — the gdal_rasterize default center-sample rule,
+    /root/reference/designatedlands.py:841-860)."""
+    mask = np.zeros((ny, nx), dtype=bool)
+    if not rings:
+        return mask
+    ex0 = np.concatenate([r[:-1, 0] for r in rings])
+    ey0 = np.concatenate([r[:-1, 1] for r in rings])
+    ex1 = np.concatenate([r[1:, 0] for r in rings])
+    ey1 = np.concatenate([r[1:, 1] for r in rings])
+    keep = ey0 != ey1
+    ex0, ey0, ex1, ey1 = ex0[keep], ey0[keep], ex1[keep], ey1[keep]
+    if len(ex0) == 0:
+        return mask
+    ys = y0 + (np.arange(ny) + 0.5) * res           # (ny,)
+    cross = (ey0[None, :] <= ys[:, None]) != (ey1[None, :] <= ys[:, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xi = ex0 + (ys[:, None] - ey0) * (ex1 - ex0) / (ey1 - ey0)
+    xs = x0 + (np.arange(nx) + 0.5) * res           # (nx,)
+    for j in range(ny):
+        cj = cross[j]
+        if not cj.any():
+            continue
+        xc = np.sort(xi[j][cj])
+        # parity of crossings strictly left of each pixel center
+        cnt = np.searchsorted(xc, xs, side="left")
+        mask[j] = (cnt & 1).astype(bool)
+    return mask
+
+
 @dataclass
 class Face:
     labels: tuple       # sorted tag ids covering this face

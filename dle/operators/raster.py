@@ -1,0 +1,153 @@
+"""Raster path (SURVEY §2 B1-B3): per-cell vector->raster burn,
+precedence fold, rollups, and write+RAT.
+
+The reference holds whole-province numpy arrays in driver RAM (the
+64 GB cliff, /root/reference/designatedlands.py:894-897 + README.md:18).
+Here a raster is a DataFrame of (cell, block) — each cell's block is a
+small uint8 numpy grid burned and folded inside one Arrow task, so the
+mosaic never exists in one address space and the RAM cliff is gone
+(SURVEY §3.3). Driver-side mosaic only for test-scale export.
+
+Fold semantics (designatedlands.py:888-953):
+  * designation plane: first cover in ascending process_order wins
+    (precedence; nodata=255)
+  * restriction planes: running max per pixel across ALL layers
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..cells import cell_bounds
+from ..config import XMAX, XMIN, YMAX, YMIN, res_at
+from ..geom import kernel as K
+from ..geom import wkb
+
+NODATA = 255
+
+RASTER_SCHEMA = ("cell string, nx int, ny int, designation binary, "
+                 "forest binary, og binary, mine binary")
+
+
+def block_size(depth: int, res: float) -> int:
+    n = res_at(depth) / res
+    if abs(n - round(n)) > 1e-9:
+        raise ValueError(f"res {res} must divide cell size {res_at(depth)}")
+    return int(round(n))
+
+
+def rasterize_fold(layers_tiled: DataFrame, depth: int,
+                   res: float) -> DataFrame:
+    """B1+B2 in one pass: burn every tiled feature into its cell's block
+    and fold with precedence. Input must have columns cell, geom,
+    process_order, forest/og/mine_restriction."""
+    n = block_size(depth, res)
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = pdf["cell"].iloc[0]
+        x0, y0, _, _ = cell_bounds(cell)
+        desig = np.full((n, n), NODATA, dtype=np.uint8)
+        planes = {c: np.zeros((n, n), dtype=np.uint8)
+                  for c in ("forest", "og", "mine")}
+        order = np.lexsort((pdf.index.to_numpy(),
+                            pdf["process_order"].to_numpy()))
+        for i in order:
+            rings = wkb.parse_rings(bytes(pdf["geom"].iloc[i]))
+            m = K.rasterize_mask(rings, x0, y0, res, n, n)
+            if not m.any():
+                continue
+            po = int(pdf["process_order"].iloc[i])
+            desig[m & (desig == NODATA)] = po
+            for c, col in (("forest", "forest_restriction"),
+                           ("og", "og_restriction"),
+                           ("mine", "mine_restriction")):
+                lvl = int(pdf[col].iloc[i])
+                planes[c][m] = np.maximum(planes[c][m], lvl)
+        return pd.DataFrame([{
+            "cell": cell, "nx": n, "ny": n,
+            "designation": desig.tobytes(),
+            "forest": planes["forest"].tobytes(),
+            "og": planes["og"].tobytes(),
+            "mine": planes["mine"].tobytes(),
+        }])
+
+    return layers_tiled.groupBy("cell").applyInPandas(
+        per_cell, RASTER_SCHEMA)
+
+
+def raster_value_counts(raster: DataFrame, plane: str = "designation",
+                        clip_extent: bool = True,
+                        covered_only: bool = False) -> DataFrame:
+    """B2 rollup: pixel histogram per plane value across all cells —
+    distributed bincount (map-side per cell, one tiny shuffle).
+    ``covered_only`` restricts to pixels claimed by some designation
+    (designation plane != nodata)."""
+
+    def counts(it):
+        for pdf in it:
+            out = {}
+            for cell, nx, ny, blob, dblob in zip(
+                    pdf["cell"], pdf["nx"], pdf["ny"], pdf[plane],
+                    pdf["designation"]):
+                arr = np.frombuffer(blob, dtype=np.uint8).reshape(ny, nx)
+                keep = np.ones((ny, nx), dtype=bool)
+                if covered_only:
+                    d = np.frombuffer(dblob, dtype=np.uint8).reshape(
+                        ny, nx)
+                    keep &= d != NODATA
+                if clip_extent:
+                    x0, y0, _, _ = cell_bounds(cell)
+                    res = res_at(len(cell)) / nx
+                    xs = x0 + (np.arange(nx) + 0.5) * res
+                    ys = y0 + (np.arange(ny) + 0.5) * res
+                    keep &= ((ys > YMIN) & (ys < YMAX))[:, None]
+                    keep &= ((xs > XMIN) & (xs < XMAX))[None, :]
+                vals, cnts = np.unique(arr[keep], return_counts=True)
+                for v, c in zip(vals, cnts):
+                    out[int(v)] = out.get(int(v), 0) + int(c)
+            yield pd.DataFrame(
+                {"value": list(out), "n_pixels": list(out.values())})
+
+    part = raster.mapInPandas(counts, "value int, n_pixels bigint")
+    return part.groupBy("value").agg(
+        F.sum("n_pixels").alias("n_pixels"))
+
+
+def rat(registry: DataFrame) -> DataFrame:
+    """B3 raster attribute table: VALUE -> DESCRIPTION legend
+    (/root/reference/designatedlands.py:116-142)."""
+    return (registry.select(
+        F.col("process_order").alias("value"),
+        F.col("designation").alias("description"))
+        .distinct().orderBy("value"))
+
+
+def write_raster(raster: DataFrame, path: str,
+                 registry: DataFrame | None = None) -> None:
+    """B3 write: per-cell blocks as parquet partitioned by cell (the
+    COG-tiles analogue) + RAT sidecar."""
+    raster.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/blocks")
+    if registry is not None:
+        rat(registry).write.mode("overwrite").parquet(f"{path}/rat")
+
+
+def mosaic(raster: DataFrame, plane: str = "designation") -> np.ndarray:
+    """Driver-side mosaic for TEST-SCALE export/inspection only."""
+    rows = raster.select("cell", "nx", "ny", plane).collect()
+    if not rows:
+        return np.zeros((0, 0), dtype=np.uint8)
+    depth = len(rows[0]["cell"])
+    n = rows[0]["nx"]
+    side = (1 << depth) * n
+    out = np.full((side, side), NODATA, dtype=np.uint8)
+    for r in rows:
+        x0, y0, _, _ = cell_bounds(r["cell"])
+        res = res_at(depth) / n
+        ci = int(round((x0 - XMIN) / (n * res)))
+        cj = int(round((y0 - YMIN) / (n * res)))
+        blk = np.frombuffer(r[plane], dtype=np.uint8).reshape(n, n)
+        out[cj * n:(cj + 1) * n, ci * n:(ci + 1) * n] = blk
+    return out

@@ -294,6 +294,7 @@ def o_rel_top_orders_per_cust():
 
 
 from .queries_kernel import KERNEL_QUERIES  # noqa: E402
+from .queries_raster import RASTER_QUERIES  # noqa: E402
 from .queries_text import TEXT_QUERIES  # noqa: E402
 
 QUERIES = {
@@ -315,6 +316,7 @@ QUERIES = {
                                 o_rel_top_orders_per_cust),
     **KERNEL_QUERIES,
     **TEXT_QUERIES,
+    **RASTER_QUERIES,
 }
 
 

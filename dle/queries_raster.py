@@ -1,0 +1,105 @@
+"""Gate-checkable raster queries (SURVEY §2 B1-B3).
+
+The engine runs the REAL raster path — tile -> per-cell scanline burn
+-> precedence fold -> distributed pixel histogram — while the oracle
+recomputes the same per-pixel winners relationally: pixel centers sit
+on a .5-offset lattice and rectangle bounds on the integer lattice, so
+"center strictly inside rect" is exact SQL arithmetic with no boundary
+ambiguity (see sqlgen determinism rules).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from . import sqlgen
+from .config import XMIN, YMIN
+from .geom import wkb
+from .operators.overlay import tile_geoms
+from .operators.raster import rasterize_fold, raster_value_counts
+
+DEPTH = 4
+RES = 4096.0  # m/px -> 32x32 blocks per depth-4 cell
+NGX = 391     # ceil(extent / RES) + 1 pixel columns/rows to cover BC
+NGY = 335
+
+_rect_wkb = F.pandas_udf(
+    lambda x0, y0, x1, y1: pd.Series(
+        [wkb.polygon_wkb([[[a, b], [c, b], [c, d], [a, d], [a, b]]])
+         for a, b, c, d in zip(x0, y0, x1, y1)]),
+    BinaryType())
+
+
+def _raster(spark, sf):
+    sqlgen.register_tables(spark, sf)
+    lay = sqlgen.spark_view(spark, sf, "layers").withColumn(
+        "geom", _rect_wkb("x0", "y0", "x1", "y1"))
+    tiled = tile_geoms(
+        lay.select("process_order", "forest_restriction",
+                   "og_restriction", "mine_restriction", "geom"), DEPTH)
+    return rasterize_fold(tiled, DEPTH, RES)
+
+
+def q_raster_precedence_pixels(spark, sf):
+    """Designation plane histogram: pixels won per designation."""
+    counts = raster_value_counts(_raster(spark, sf), "designation")
+    return (counts.where(F.col("value") != 255)
+            .select(F.concat(
+                F.lit("desig_"),
+                F.lpad(F.col("value").cast("string"), 2, "0"))
+                .alias("designation"),
+                "n_pixels"))
+
+
+def _pix(dialect: str) -> str:
+    gx = sqlgen.series(NGX, "gx", "i", dialect)
+    gy = sqlgen.series(NGY, "gy", "i", dialect)
+    return (f"pix as (select cast({XMIN!r} as double)"
+            f" + (gx.i + 0.5) * {RES!r} as px,"
+            f" cast({YMIN!r} as double) + (gy.i + 0.5) * {RES!r} as py"
+            f" from {gx}, {gy})")
+
+
+def o_raster_precedence_pixels():
+    return (sqlgen.preamble("duckdb", pages=False) + f"""
+ , {_pix('duckdb')},
+ won as (
+   select p.px, p.py, min(l.process_order) as po
+   from pix p join layers l
+     on p.px > l.x0 and p.px < l.x1 and p.py > l.y0 and p.py < l.y1
+   group by p.px, p.py)
+ select concat('desig_', lpad(cast(po as string), 2, '0')) as designation,
+        cast(count(*) as bigint) as n_pixels
+ from won group by po""")
+
+
+def q_raster_forest_pixels(spark, sf):
+    """Forest-restriction plane histogram over covered pixels (max
+    semantics, designatedlands.py:942-953)."""
+    counts = raster_value_counts(_raster(spark, sf), "forest",
+                                 covered_only=True)
+    return counts.select(F.col("value").alias("forest_level"),
+                         "n_pixels")
+
+
+def o_raster_forest_pixels():
+    return (sqlgen.preamble("duckdb", pages=False) + f"""
+ , {_pix('duckdb')},
+ mx as (
+   select p.px, p.py, max(l.forest_restriction) as lvl
+   from pix p join layers l
+     on p.px > l.x0 and p.px < l.x1 and p.py > l.y0 and p.py < l.y1
+   group by p.px, p.py)
+ select cast(lvl as int) as forest_level,
+        cast(count(*) as bigint) as n_pixels
+ from mx group by lvl""")
+
+
+RASTER_QUERIES = {
+    "raster_precedence_pixels": (q_raster_precedence_pixels,
+                                 o_raster_precedence_pixels),
+    "raster_forest_pixels": (q_raster_forest_pixels,
+                             o_raster_forest_pixels),
+}
