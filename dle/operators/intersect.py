@@ -1,0 +1,87 @@
+"""Generic pairwise spatial overlay (SURVEY §2 A8) — the reference's
+user-facing `overlay IN OUT` entry point (designatedlands.py:1002-1090).
+
+Output schema = columns_a ∪ columns_b (+ geom), with the reference's
+collision and reserved-name guards (designatedlands.py:1017-1028).
+Physical plan: tile both sides by cell, cell equi-join, then a
+cogrouped kernel refine (bbox prefilter -> safe intersection), and the
+empty-geometry purge (designatedlands.py:1076-1082).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import DEFAULT_DEPTH
+from ..geom import kernel as K
+from ..geom import wkb
+from .overlay import GRID, tile_geoms
+
+RESERVED = {"cell", "geom", "part_i"}
+
+
+def spatial_overlay(df_a: DataFrame, df_b: DataFrame,
+                    depth: int = DEFAULT_DEPTH, geom: str = "geom",
+                    grid: float = GRID) -> DataFrame:
+    """Intersect every A feature with every B feature it overlaps;
+    one output row per intersecting pair with both attribute sets."""
+    a_cols = [c for c in df_a.columns if c != geom]
+    b_cols = [c for c in df_b.columns if c != geom]
+    dup = (set(a_cols) & set(b_cols)) - RESERVED
+    if dup:
+        raise ValueError(
+            f"column collision between inputs: {sorted(dup)} "
+            "(rename before overlay — designatedlands.py:1017-1022)")
+    bad = (set(a_cols) | set(b_cols)) & (RESERVED - {"cell"})
+    if bad:
+        raise ValueError(f"reserved columns in input: {sorted(bad)}")
+
+    a = tile_geoms(df_a, depth, geom, grid) \
+        .drop("bx0", "by0", "bx1", "by1")
+    b = tile_geoms(df_b, depth, geom, grid) \
+        .drop("bx0", "by0", "bx1", "by1") \
+        .withColumnRenamed(geom, "_geom_b")
+
+    out_fields = (
+        [f"`{c}` {df_a.schema[c].dataType.simpleString()}"
+         for c in a_cols]
+        + [f"`{c}` {df_b.schema[c].dataType.simpleString()}"
+           for c in b_cols]
+        + ["cell string", f"`{geom}` binary"])
+    out_schema = ", ".join(out_fields)
+    cols = a_cols + b_cols + ["cell", geom]
+
+    def refine(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame):
+        empty = pd.DataFrame({c: [] for c in cols})
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return empty
+        b_rings = [wkb.parse_rings(bytes(g)) for g in b_pdf["_geom_b"]]
+        b_bb = np.array([[min(r[:, 0].min() for r in rs),
+                          min(r[:, 1].min() for r in rs),
+                          max(r[:, 0].max() for r in rs),
+                          max(r[:, 1].max() for r in rs)]
+                         for rs in b_rings])
+        rows = []
+        for i in range(len(a_pdf)):
+            a_rings = wkb.parse_rings(bytes(a_pdf[geom].iloc[i]))
+            ax0 = min(r[:, 0].min() for r in a_rings)
+            ay0 = min(r[:, 1].min() for r in a_rings)
+            ax1 = max(r[:, 0].max() for r in a_rings)
+            ay1 = max(r[:, 1].max() for r in a_rings)
+            hit = ((b_bb[:, 0] < ax1) & (b_bb[:, 2] > ax0)
+                   & (b_bb[:, 1] < ay1) & (b_bb[:, 3] > ay0))
+            for j in np.flatnonzero(hit):
+                inter = K.intersection(a_rings, b_rings[j], grid)
+                if not inter or K.area(inter) <= 0:
+                    continue  # ST_IsEmpty purge
+                r = {c: a_pdf[c].iloc[i] for c in a_cols}
+                r.update({c: b_pdf[c].iloc[j] for c in b_cols})
+                r["cell"] = key[0]
+                r[geom] = wkb.rings_wkb(inter)
+                rows.append(r)
+        return pd.DataFrame(rows, columns=cols) if rows else empty
+
+    return (a.groupBy("cell").cogroup(b.groupBy("cell"))
+            .applyInPandas(refine, out_schema))

@@ -1,0 +1,87 @@
+"""Skew handling (north rule: "salting for skewed tiles").
+
+Hot coastal cells concentrate features (FIXTURES §3(c)); a plain
+groupBy(cell) dissolve puts a whole hot cell in one task. Two levers:
+
+  * `dissolve_salted`: two-phase dissolve — partial union per
+    (keys, salt), then final union per keys. Union is associative on
+    grid-snapped inputs, so the result is identical to the one-phase
+    dissolve (asserted in tests). salt = deterministic hash of a
+    distinguishing column, NOT random — results must be reproducible.
+  * `subdivide`: ST_Subdivide analogue (designatedlands.py:674-679) —
+    recursively halve a geometry's bbox until each part has at most
+    `max_vertices` vertices, bounding per-row kernel cost before
+    tiling. Parts are winding-preserving bbox clips, so downstream
+    dissolve/planarize see identical coverage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..geom import kernel as K
+from ..geom import wkb
+from .overlay import GRID, dissolve
+
+
+def dissolve_salted(df: DataFrame, keys: list[str], salt_col: str,
+                    salt_k: int = 8, geom: str = "geom",
+                    grid: float = GRID) -> DataFrame:
+    """Two-phase dissolve for skewed key groups: map-side-style partial
+    union per (keys, salt(hash(salt_col) % k)) then final merge. One
+    extra (much smaller) shuffle buys hot-group parallelism."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_k)))
+    partial = dissolve(salted, keys + ["_salt"], geom=geom, grid=grid)
+    return dissolve(partial.drop("_salt"), keys, geom=geom, grid=grid)
+
+
+def subdivide(df: DataFrame, max_vertices: int = 128,
+              geom: str = "geom") -> DataFrame:
+    """Split complex geometries until each part has <= max_vertices
+    vertices (ST_Subdivide). Emits one row per part (part_i).
+    max_vertices >= 5, as in PostGIS — a bbox halving of a quad yields
+    quads, so smaller budgets cannot terminate."""
+    if max_vertices < 5:
+        raise ValueError("max_vertices must be >= 5 (PostGIS parity)")
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in df.schema.fields] + ["part_i int"])
+
+    def split_one(rings: list) -> list[list]:
+        n = sum(len(r) - 1 for r in rings)
+        if n <= max_vertices:
+            return [rings]
+        xs = np.concatenate([r[:, 0] for r in rings])
+        ys = np.concatenate([r[:, 1] for r in rings])
+        x0, x1 = float(xs.min()), float(xs.max())
+        y0, y1 = float(ys.min()), float(ys.max())
+        if (x1 - x0) >= (y1 - y0):
+            xm = 0.5 * (x0 + x1)
+            halves = [(x0, y0, xm, y1), (xm, y0, x1, y1)]
+        else:
+            ym = 0.5 * (y0 + y1)
+            halves = [(x0, y0, x1, ym), (x0, ym, x1, y1)]
+        out = []
+        for bb in halves:
+            part = K.clip_bbox(rings, *bb)
+            if part and abs(K.area(part)) > 0:
+                out.extend(split_one(part))
+        return out
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for i in range(len(pdf)):
+                rings = wkb.parse_rings(bytes(pdf[geom].iloc[i]))
+                for j, part in enumerate(split_one(rings)):
+                    r = pdf.iloc[i].to_dict()
+                    r[geom] = wkb.rings_wkb(part)
+                    r["part_i"] = j
+                    rows.append(r)
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {c: [] for c in list(pdf.columns) + ["part_i"]})
+
+    return df.mapInPandas(batches, out_schema)

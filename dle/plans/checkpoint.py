@@ -73,6 +73,10 @@ def run_stage(spark, manifest: Manifest, stage: str, fingerprint: str,
        .parquet(str(out_dir)))
     wall_ms = int(1000 * (time.perf_counter() - t0))
     result = spark.read.parquet(str(out_dir))
+    # guard against partition-column type inference (quadkeys like
+    # "000" must stay strings) under sessions we didn't configure
+    result = result.withColumn(
+        partition_col, F.col(partition_col).cast("string"))
     new_counts = [r for r in
                   result.groupBy(partition_col).count().collect()
                   if r[partition_col] not in done]

@@ -25,17 +25,25 @@ def get_spark(app: str = "dle", master: str | None = None,
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # AQE: runtime coalescing + skew-join splitting — the built-in
-        # answer to the reference's hand-sized tile worklist
-        # (/root/reference/designatedlands.py:810-817).
+        # AQE skew-join splitting stays on — the built-in answer to the
+        # reference's hand-sized tile worklist (designatedlands.py:
+        # 810-817). Partition COALESCING is off: it sizes partitions by
+        # shuffle BYTES, but our grouped pandas-UDF stages are Python-
+        # CPU-bound on small byte counts (WKB in, heavy kernel work),
+        # so coalescing serializes them (measured: 4x slowdown on the
+        # raster fold at local[32]).
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow transfer for pandas UDF geometry kernels.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # 128 MB scan splits — sane for wide parquet at 100 TB.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # quadkey cells are strings with leading zeros ("000"); type
+        # inference would read the partition dir back as int 0
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled",
+                "false")
         .config("spark.ui.enabled", "false")
     )
     return b.getOrCreate()

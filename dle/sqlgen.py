@@ -185,14 +185,29 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def register_tables(spark, sf_dir: str) -> None:
     """Register the driver parquet tables as temp views (Spark side of
-    the oracle contract; DuckDB side is pre-registered by the driver)."""
+    the oracle contract; DuckDB side is pre-registered by the driver).
+
+    Small-file fix that matters for everything downstream: the sandbox
+    tables are single parquet files with one row group, so every
+    generated projection (md5 geocoding etc.) would otherwise execute
+    in ONE task no matter the core count. Spreading the fact tables to
+    defaultParallelism up front keeps the expensive generated columns
+    parallel — at real scale inputs arrive in thousands of splits and
+    this repartition is a no-op."""
+    par = spark.sparkContext.defaultParallelism
     for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t in ("orders", "lineitem", "events") \
+                and df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+        df.createOrReplaceTempView(t)
 
 
 def spark_view(spark, sf_dir: str, name: str):
     """Materialize one generated CTE tree as a DataFrame (engine input)."""
     register_tables(spark, sf_dir)
     need_pages = name in ("pages", "captures", "points")
-    pre = preamble("spark", pages=need_pages, layers=not need_pages)
+    need_bands = name == "bands"
+    pre = preamble("spark", pages=need_pages, bands=need_bands,
+                   layers=not (need_pages or need_bands))
     return spark.sql(f"{pre} select * from {name}")

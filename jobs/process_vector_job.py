@@ -1,0 +1,51 @@
+"""spark-submit entry point for the full vector pipeline.
+
+    python tools/make_pyfiles.py
+    spark-submit --master <cluster> --py-files dist/dle.zip \
+        jobs/process_vector_job.py <sf_dir> <out_dir> [depth]
+
+Runs A4 -> A5/A6 precedence -> A7 planarize with the checkpoint
+manifest (resume-safe: re-running skips completed cells), writes the
+planarized faces + qa rollup JSON to <out_dir>.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
+        "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dle_out"
+    depth = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    spark = SparkSession.builder.appName("dle-process-vector") \
+        .getOrCreate()
+    from dle.plans.pipeline import process_vector, qa_rollups
+    from dle.plans.checkpoint import Manifest, run_stage
+    from dle.sources.io import dump
+
+    man = Manifest(f"{out_dir}/manifest")
+    out = process_vector(spark, sf_dir, depth=depth)
+    fingerprint = f"{sf_dir}|depth={depth}"
+    planar = run_stage(
+        spark, man, "planarized", fingerprint,
+        lambda skip: out.planarized, out_dir)
+    dump(out.designatedlands, f"{out_dir}/designatedlands")
+    qa = qa_rollups(out)
+    qa_flat = {
+        "total_land_ha": qa["total_land_ha"],
+        "total_planarized_ha": qa["total_planarized_ha"],
+        "n_faces": planar.count(),
+    }
+    with open(f"{out_dir}/qa.json", "w") as f:
+        json.dump(qa_flat, f, indent=2)
+    print(json.dumps(qa_flat))
+
+
+if __name__ == "__main__":
+    main()

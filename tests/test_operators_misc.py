@@ -1,0 +1,130 @@
+"""Salting, subdivide, generic overlay, registry, dump, streaming."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dle import datagen
+from dle.geom import kernel as K
+from dle.geom import wkb
+from dle.operators.intersect import spatial_overlay
+from dle.operators.overlay import dissolve, with_area
+from dle.operators.skew import dissolve_salted, subdivide
+from dle.sources import io as dio
+from dle.sources.registry import Source, to_dataframe, validate
+
+SF = "/root/testdata/sf0.001"
+
+
+def _band_df(spark):
+    return datagen.bands_1d(spark, SF).select(
+        "designation", "band", "feat_id", "geom")
+
+
+def test_salted_dissolve_matches_plain(spark):
+    df = _band_df(spark)
+    plain = dissolve(df.select("designation", "band", "geom"),
+                     ["designation", "band"])
+    salted = dissolve_salted(df, ["designation", "band"],
+                             salt_col="feat_id", salt_k=4)
+    a = {(r["designation"], r["band"]): round(r["area_m2"], 3)
+         for r in with_area(plain).collect()}
+    b = {(r["designation"], r["band"]): round(r["area_m2"], 3)
+         for r in with_area(salted).collect()}
+    assert a == b
+
+
+def test_subdivide_conserves_area_and_bounds_vertices(spark):
+    # sawtooth land boundary with holes: ~30 shell vertices -> splits
+    bnd = datagen.boundary_land(spark).select(
+        F.lit(0).alias("feat_id"), "geom")
+    sub = subdivide(bnd, max_vertices=8)
+    rows = sub.collect()
+    assert len(rows) > 1  # something actually split
+    total = 0.0
+    for r in rows:
+        rings = wkb.parse_rings(bytes(r["geom"]))
+        shells = sum(1 for x in rings if wkb.ring_area(x) >= 0)
+        verts = sum(len(x) - 1 for x in rings)
+        # halving can exceed the budget by the clip-added vertices of
+        # a single final cut, never more
+        assert verts <= 8 + 5 * max(shells, 1)
+        total += K.area(rings)
+    orig = K.area(wkb.parse_rings(
+        bytes(bnd.collect()[0]["geom"])))
+    assert total == pytest.approx(orig, rel=1e-9)
+
+    with pytest.raises(ValueError, match=">= 5"):
+        subdivide(bnd, max_vertices=3).collect()
+
+
+def test_spatial_overlay_schema_and_collision(spark):
+    a = _band_df(spark).select(
+        F.col("feat_id").alias("a_id"), "geom").limit(40)
+    b = _band_df(spark).select(
+        F.col("feat_id").alias("b_id"), "geom").limit(40)
+    out = spatial_overlay(a, b, depth=3)
+    assert set(out.columns) == {"a_id", "b_id", "cell", "geom"}
+    rows = out.collect()
+    assert len(rows) >= 40  # every feature overlaps itself at least
+    self_pairs = [r for r in rows if r["a_id"] == r["b_id"]]
+    assert len(self_pairs) >= 40
+    with pytest.raises(ValueError, match="collision"):
+        spatial_overlay(a, a, depth=3)
+
+
+def test_registry_validation():
+    good = [Source(process_order=i + 1, designation=f"d{i}")
+            for i in range(4)]
+    assert [s.designation for s in validate(good)] == [
+        "d0", "d1", "d2", "d3"]
+    # exclusions are dropped before the contiguity check
+    withex = good + [Source(process_order=99, designation="x",
+                            exclude="T")]
+    assert len(validate(withex)) == 4
+    with pytest.raises(ValueError, match="contiguous"):
+        validate([Source(process_order=2, designation="a"),
+                  Source(process_order=3, designation="b")])
+    with pytest.raises(ValueError, match="not in 0..5"):
+        validate([Source(process_order=1, designation="a",
+                         forest_restriction=9)])
+    with pytest.raises(ValueError, match="duplicate"):
+        validate([Source(process_order=1, designation="a"),
+                  Source(process_order=2, designation="a")])
+
+
+def test_dump_flattens_arrays(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("000", ["a", "b"], [1, 2]), ("001", ["c"], [3])],
+        "cell string, names array<string>, orders array<int>")
+    dio.dump(df, str(tmp_path / "d"))
+    back = spark.read.parquet(str(tmp_path / "d"))
+    got = {r["cell"]: (r["names"], r["orders"])
+           for r in back.collect()}
+    assert got["000"] == ("a;b", "1;2")
+    assert got["001"] == ("c", "3")
+
+
+def test_registry_to_dataframe(spark):
+    df = to_dataframe(spark, [Source(process_order=1, designation="a")])
+    assert df.collect()[0]["designation"] == "a"
+
+
+def test_streaming_available_now(spark, tmp_path):
+    from dle.streaming.availablenow import stream_cell_counts
+    src = str(tmp_path / "in")
+    pts = spark.createDataFrame(
+        [(1, 0, 400000.0, 500000.0), (2, 0, 900000.0, 900000.0)],
+        "page_id bigint, cand_i int, px double, py double")
+    pts.write.parquet(src)
+    acc: list = []
+    stream_cell_counts(spark, src, acc, str(tmp_path / "ckpt"))
+    assert len(acc) >= 1
+    total = sum(sum(d.values()) for d in acc)
+    assert total == 2
+    # restart: nothing new to process -> no new counted rows
+    acc2: list = []
+    stream_cell_counts(spark, src, acc2, str(tmp_path / "ckpt"))
+    assert sum(sum(d.values()) for d in acc2) == 0
