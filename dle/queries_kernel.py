@@ -144,10 +144,58 @@ def o_planarize_coverage_1d():
  from cov group by nd""")
 
 
+def q_planarize_labels_1d(spark, sf):
+    """A7/F3 attribute arrays through the gate: faces labeled with the
+    ';'-joined designation list (ordered by process_order — the
+    reference's array_agg order with our deterministic tiebreak),
+    rolled up to total area per label set."""
+    import pandas as pd
+
+    from .geom import kernel as K
+    from .geom import wkb as W
+
+    b = _bands_wkb(spark, sf).select("band", "process_order", "geom")
+
+    def per_band(pdf: pd.DataFrame) -> pd.DataFrame:
+        tagged = [(int(po) - 1, W.parse_rings(bytes(g)))
+                  for po, g in zip(pdf["process_order"], pdf["geom"])]
+        faces = K.planarize(tagged, grid=0.1, with_rings=False)
+        return pd.DataFrame({
+            "label": [";".join(f"desig_{t + 1:02d}" for t in f.labels)
+                      for f in faces],
+            "area_m2": [f.area_m2 for f in faces]})
+
+    faces = b.groupBy("band").applyInPandas(
+        per_band, "label string, area_m2 double")
+    return faces.groupBy("label").agg(
+        F.round(F.sum("area_m2"), 0).cast("bigint").alias("area_m2"))
+
+
+def o_planarize_labels_1d():
+    return (preamble("duckdb", pages=False, layers=False, bands=True) + f"""
+ , pts as (select distinct band, bx0 as x from bands
+           union select distinct band, bx1 from bands),
+ segs as (select band, x as sx0,
+                 lead(x) over (partition by band order by x) as sx1
+          from pts),
+ cov as (select s.band, s.sx0, s.sx1,
+                string_agg(distinct b.designation, ';'
+                           order by b.designation) as label
+         from segs s join bands b
+           on b.band = s.band and b.bx0 <= s.sx0 and b.bx1 >= s.sx1
+         where s.sx1 is not null
+         group by s.band, s.sx0, s.sx1)
+ select label,
+        cast(round(sum((sx1 - sx0) * {BAND_H!r}), 0) as bigint) as area_m2
+ from cov group by label""")
+
+
 KERNEL_QUERIES = {
     "overlay_dissolve_area_1d": (q_dissolve_area_1d, o_dissolve_area_1d),
     "overlay_precedence_area_1d": (q_precedence_area_1d,
                                    o_precedence_area_1d),
     "overlay_planarize_coverage_1d": (q_planarize_coverage_1d,
                                       o_planarize_coverage_1d),
+    "overlay_planarize_labels_1d": (q_planarize_labels_1d,
+                                    o_planarize_labels_1d),
 }
