@@ -104,9 +104,36 @@ def qa_rollups(out: VectorOutputs) -> dict:
             (F.sum("area_m2") / 1e4).alias("ha")).collect()
         per_class[c] = {r[c]: r["ha"] for r in rows}
 
+    # qa_compare_outputs (/root/reference/sql/qa.sql:8-38): dissolved
+    # per-designation area in the OVERLAPPING output vs total area of
+    # planarized faces whose attribute array contains the designation
+    # (the reference's `o.designation && p.designation` intarray-overlap
+    # join) — must agree to snap tolerance.
+    over_dis = with_area(dissolve(
+        out.overlapping.select("cell", "designation", "geom"),
+        ["cell", "designation"]))
+    over_d = {r["designation"]: r["ha"] for r in
+              over_dis.groupBy("designation")
+              .agg((F.sum("area_m2") / 1e4).alias("ha")).collect()}
+    plan_d = {
+        r["d"]: r["ha"]
+        for r in out.planarized
+        .select(F.explode(F.array_distinct("designation")).alias("d"),
+                "area_m2")
+        .groupBy("d").agg((F.sum("area_m2") / 1e4).alias("ha"))
+        .collect()}
+    qa_compare = {
+        d: {"overlapping_ha": over_d.get(d, 0.0),
+            "planarized_ha": plan_d.get(d, 0.0),
+            "pct_diff": (100.0 * abs(over_d.get(d, 0.0)
+                                     - plan_d.get(d, 0.0))
+                         / max(over_d.get(d, 0.0), 1e-9))}
+        for d in sorted(set(over_d) | set(plan_d))}
+
     return {
         "total_land_ha": total_land,
         "total_planarized_ha": total_plan,
         "per_designation_ha": per_desig,
         "per_class_ha": per_class,
+        "qa_compare": qa_compare,
     }

@@ -40,6 +40,14 @@ def test_restriction_class_sums_equal_land(qa):
             qa["total_land_ha"], rel=1e-6), cls
 
 
+def test_qa_compare_overlapping_vs_planarized(qa):
+    """qa.sql:8-38 — per designation, dissolved overlapping area equals
+    the total area of planarized faces containing the designation."""
+    assert qa["qa_compare"]
+    for d, row in qa["qa_compare"].items():
+        assert row["pct_diff"] < 1e-4, (d, row)
+
+
 def test_precedence_areas_le_overlapping(qa):
     """precedence output is the non-overlapping partition of each
     designation's claim: per designation it can never exceed the
