@@ -36,6 +36,8 @@ HEADLINE = [
     "text_bytes_invariant",
     "rel_pricing_summary",
     "rel_top_orders_per_cust",
+    "spatial_knn_pruned",
+    "rel_join_revenue_by_nation",
     "overlay_dissolve_area_1d",
     "overlay_precedence_area_1d",
     "overlay_planarize_coverage_1d",

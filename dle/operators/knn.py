@@ -1,0 +1,156 @@
+"""Spatial kNN join (north_star: "pandas UDFs for point-in-polygon,
+polygon intersection, and kNN").
+
+`knn_join_rects`: for every point, the k nearest rectangle features by
+euclidean distance to the feature's boundary/interior (distance 0 when
+inside). Physical recipe mirrors the PIP join: the feature side is the
+small dimension table -> broadcast; distance evaluation stays JVM-side
+(codegen); top-k per point is one map-side-combinable min_by chain via
+window row_number over (distance, feat_id) with a deterministic
+tiebreak.
+
+Distances are exact BIGINT squared-meters (integral coordinates), so
+ranking is reproducible bit-for-bit across engines and partitionings.
+
+Scale path (10^12 points x 10^5 features): the broadcast variant is
+O(points x features) per partition — fine for dimension-sized feature
+sets (the reference has 42 layers). For large feature sets use
+`knn_join_cells`: candidates restricted to features whose cell-ring
+distance can beat the current k-th best — implemented as a cover-cells
+join at a chosen depth plus ring expansion, falling back to brute force
+for the (rare) points whose ring search exhausts. Round 1 ships the
+broadcast variant + the cell-pruned candidate generator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .spatial_join import explode_rect_cells
+
+
+def _d2(px: str, py: str) -> F.Column:
+    dx = F.greatest(F.col("x0") - F.col(px), F.col(px) - F.col("x1"),
+                    F.lit(0.0))
+    dy = F.greatest(F.col("y0") - F.col(py), F.col(py) - F.col("y1"),
+                    F.lit(0.0))
+    return (dx * dx + dy * dy).cast("bigint")
+
+
+def knn_join_rects(points: DataFrame, rects: DataFrame, k: int = 3,
+                   px: str = "px", py: str = "py",
+                   point_keys: list[str] | None = None) -> DataFrame:
+    """Broadcast brute-force kNN: every point against the (small)
+    feature table; returns point keys + feat_id + d2 + rank 1..k."""
+    point_keys = point_keys or ["page_id", "cand_i"]
+    r = F.broadcast(rects.select("feat_id", "x0", "y0", "x1", "y1"))
+    scored = points.crossJoin(r).select(
+        *point_keys, "feat_id", _d2(px, py).alias("d2"))
+    w = Window.partitionBy(*point_keys).orderBy("d2", "feat_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def knn_join_pruned(points: DataFrame, rects: DataFrame, k: int = 3,
+                    depth: int = 7, ring: int = 3,
+                    px: str = "px", py: str = "py",
+                    point_keys: list[str] | None = None) -> DataFrame:
+    """Scale-path kNN: cell-ring candidate pruning + exact-completeness
+    check + brute-force fallback for the (rare) unresolved points.
+
+    Completeness bound (exact, per point): a feature covering NO cell
+    within `ring` cells of the point's cell lies entirely outside the
+    ring box, hence at distance >= the point's distance to the ring-box
+    edge. If the point has >= k ring candidates and its k-th best d2
+    <= that bound squared, the ring answer is provably the global
+    answer. Everything else (sparse-neighborhood points) falls back to
+    the broadcast brute force — results are hash-identical to pure
+    brute force, verified at the correctness gate."""
+    from ..cells import sql_cell_xy
+    from ..config import res_at
+    point_keys = point_keys or ["page_id", "cand_i"]
+    cs = res_at(depth)
+    R = ring * cs  # dilation radius in meters
+
+    # DILATED-FEATURE candidates: expand every feature bbox by R and
+    # explode its cover cells ONCE (broadcast side). A point joins on
+    # its single cell id, so each (point, feature) pair appears exactly
+    # once — no point-side explosion, no dedupe shuffle. Any feature
+    # NOT matched has bbox distance > R from the point's whole cell,
+    # hence distance > R from the point: constant completeness bound.
+    n = (1 << depth) - 1
+    rd = (rects
+          .withColumn("_ex0", F.col("x0") - R)
+          .withColumn("_ey0", F.col("y0") - R)
+          .withColumn("_ex1", F.col("x1") + R)
+          .withColumn("_ey1", F.col("y1") + R))
+    rd = explode_rect_cells(rd, "_ex0", "_ey0", "_ex1", "_ey1", depth)
+    rd = (rd.withColumn("cellid",
+                        F.col("_cx") * (n + 1) + F.col("_cy"))
+          .drop("_cx", "_cy", "cell", "_ex0", "_ey0", "_ex1", "_ey1"))
+    cx, cy = sql_cell_xy(px, py, depth)
+    p = points.withColumn(
+        "cellid", F.expr(f"({cx}) * {n + 1} + ({cy})"))
+    cand = p.join(F.broadcast(rd), "cellid")
+
+    w = Window.partitionBy(*point_keys).orderBy("d2", "feat_id")
+    wp = Window.partitionBy(*point_keys)
+    # ONE shuffle by point key: row_number, then count/max windows over
+    # the same partitioning (no extra exchange); persist the tiny top-k
+    # so the resolved/fallback branches don't recompute the candidates.
+    ranked = (cand.select(*point_keys, "feat_id",
+                          _d2(px, py).alias("d2"))
+              .withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k)
+              .withColumn("_n", F.count(F.lit(1)).over(wp))
+              .withColumn("_kth", F.max("d2").over(wp))
+              .persist())
+    ok = (F.col("_n") >= k) & (F.col("_kth") <= F.lit(R * R))
+    resolved = ranked.where(ok)
+    unresolved_pts = points.join(
+        resolved.select(*point_keys).distinct(), point_keys, "left_anti")
+    fallback = knn_join_rects(unresolved_pts, rects, k, px, py,
+                              point_keys)
+    return resolved.select(*point_keys, "feat_id", "d2", "rank") \
+        .unionByName(fallback.select(*point_keys, "feat_id", "d2",
+                                     "rank"))
+
+
+def knn_candidates_cells(points: DataFrame, rects: DataFrame,
+                         depth: int, ring: int = 1,
+                         px: str = "px", py: str = "py") -> DataFrame:
+    """Cell-pruned candidate pairs: features covering any cell within
+    `ring` cells of the point's cell. The scale-path pre-filter: at
+    depth d with ring r, a candidate set bounded by local density
+    instead of the whole feature table. Exactness requires a fallback
+    for points with fewer than k candidates in the ring (caller checks
+    counts and escalates ring or falls back to broadcast)."""
+    from ..cells import sql_cell_xy, sql_quadkey
+    from .spatial_join import explode_rect_cells
+
+    cx, cy = sql_cell_xy(px, py, depth)
+    n = (1 << depth) - 1
+    # integer cell ids (cx * 2^depth + cy): much cheaper to build and
+    # join than 49 quadkey strings per point
+    p = (points
+         .withColumn("_pcx", F.expr(cx)).withColumn("_pcy", F.expr(cy))
+         .withColumn("_dx", F.explode(F.expr(
+             f"sequence(-{ring}, {ring})")))
+         .withColumn("_dy", F.explode(F.expr(
+             f"sequence(-{ring}, {ring})")))
+         .withColumn("_ncx", F.expr(
+             f"least({n}, greatest(0, _pcx + _dx))"))
+         .withColumn("_ncy", F.expr(
+             f"least({n}, greatest(0, _pcy + _dy))"))
+         # (clamped duplicates at domain edges are deduped below)
+         .withColumn("cellid",
+                     F.col("_ncx") * (n + 1) + F.col("_ncy")))
+    r = explode_rect_cells(rects, "x0", "y0", "x1", "y1", depth)
+    r = r.withColumn("cellid",
+                     F.col("_cx") * (n + 1) + F.col("_cy")) \
+         .drop("_cx", "_cy", "cell")
+    pairs = p.join(F.broadcast(r), "cellid")
+    keys = [c for c in points.columns]
+    return pairs.dropDuplicates(keys + ["feat_id"]) \
+        .drop("_pcx", "_pcy", "_dx", "_dy", "_ncx", "_ncy", "cellid")

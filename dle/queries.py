@@ -244,6 +244,63 @@ def o_text_bytes_invariant():
                where q.page_id = p.page_id)""")
 
 
+def q_spatial_knn(spark, sf):
+    """Spatial kNN join (north_star op): 3 nearest designation features
+    per candidate point, exact integer squared-meter distances,
+    deterministic (d2, feat_id) ranking."""
+    from .operators.knn import knn_join_rects
+    pts = _points(spark, sf).select("page_id", "cand_i", "px", "py")
+    lay = _layers(spark, sf)
+    out = knn_join_rects(pts, lay, k=3)
+    return out.select("page_id", "cand_i", "rank", "feat_id", "d2")
+
+
+def o_spatial_knn():
+    return (preamble("duckdb") + """
+ , scored as (
+   select p.page_id, p.cand_i, l.feat_id,
+          cast(greatest(l.x0 - p.px, p.px - l.x1, 0.0)
+               * greatest(l.x0 - p.px, p.px - l.x1, 0.0)
+             + greatest(l.y0 - p.py, p.py - l.y1, 0.0)
+               * greatest(l.y0 - p.py, p.py - l.y1, 0.0)
+             as bigint) as d2
+   from points p, layers l),
+ ranked as (
+   select *, row_number() over (partition by page_id, cand_i
+                                order by d2, feat_id) as rank
+   from scored)
+ select page_id, cand_i, cast(rank as int) as rank, feat_id, d2
+ from ranked where rank <= 3""")
+
+
+def q_spatial_knn_pruned(spark, sf):
+    """Scale-path kNN (cell-ring pruning + provable-completeness check
+    + fallback) — must be hash-identical to the brute-force oracle."""
+    from .operators.knn import knn_join_pruned
+    pts = _points(spark, sf).select("page_id", "cand_i", "px", "py")
+    lay = _layers(spark, sf)
+    out = knn_join_pruned(pts, lay, k=3)
+    return out.select("page_id", "cand_i", "rank", "feat_id", "d2")
+
+
+def q_pages_html_invariant(spark, sf):
+    """html binary column (input_hint) byte identity: md5 of the html
+    payload per url survives the engine's page derivation."""
+    pages = sqlgen.spark_view(spark, sf, "pages")
+    html = F.expr("cast(concat('<html>', text, '</html>') as binary)")
+    return pages.select(
+        "url", F.md5(html).alias("html_md5"),
+        F.length(html).alias("html_len"))
+
+
+def o_pages_html_invariant():
+    return (preamble("duckdb", layers=False) + """
+ select url, md5(concat('<html>', text, '</html>')) as html_md5,
+        cast(strlen(concat('<html>', text, '</html>')) as int)
+          as html_len
+ from pages""")
+
+
 # ---------------------------------------------------------- relational
 
 def q_rel_pricing_summary(spark, sf):
@@ -270,6 +327,66 @@ def o_rel_pricing_summary():
           / 100.0 as sum_price,
         cast(count(*) as bigint) as n_rows
  from lineitem group by l_returnflag, l_linestatus"""
+
+
+def q_rel_join_revenue_by_nation(spark, sf):
+    """TPC-H Q5-shaped multi-join rollup: lineitem x orders x customer
+    x nation x region, revenue in exact cents (broadcast dims)."""
+    register_tables(spark, sf)
+    li = spark.table("lineitem").withColumn(
+        "_rev", F.round(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")) * 100, 0)
+        .cast("bigint"))
+    j = (li.join(spark.table("orders"),
+                 li.l_orderkey == F.col("o_orderkey"))
+         .join(spark.table("customer"),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(spark.table("nation")),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(spark.table("region")),
+               F.col("n_regionkey") == F.col("r_regionkey")))
+    return j.groupBy("r_name", "n_name").agg(
+        (F.sum("_rev") / 100.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+def o_rel_join_revenue_by_nation():
+    return """
+ select r.r_name, n.n_name,
+        cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount)
+                            * 100, 0) as bigint)) as double) / 100.0
+          as revenue,
+        cast(count(*) as bigint) as n_items
+ from lineitem l
+ join orders o on l.l_orderkey = o.o_orderkey
+ join customer c on o.o_custkey = c.c_custkey
+ join nation n on c.c_nationkey = n.n_nationkey
+ join region r on n.n_regionkey = r.r_regionkey
+ group by r.r_name, n.n_name"""
+
+
+def q_rel_anti_join_customers(spark, sf):
+    """Left-anti join (E5 relational twin): customers with no orders
+    above 450k — count per market segment."""
+    register_tables(spark, sf)
+    big = spark.table("orders").where("o_totalprice > 450000") \
+        .select("o_custkey")
+    out = (spark.table("customer")
+           .join(big, F.col("c_custkey") == F.col("o_custkey"),
+                 "left_anti")
+           .groupBy("c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n_customers")))
+    return out
+
+
+def o_rel_anti_join_customers():
+    return """
+ select c_mktsegment, cast(count(*) as bigint) as n_customers
+ from customer c
+ where not exists (select 1 from orders o
+                   where o.o_custkey = c.c_custkey
+                     and o.o_totalprice > 450000)
+ group by c_mktsegment"""
 
 
 def q_rel_top_orders_per_cust(spark, sf):
@@ -311,7 +428,15 @@ QUERIES = {
                                     o_spatial_tile_feature_counts),
     "pages_latest_capture": (q_pages_latest_capture, o_pages_latest_capture),
     "text_bytes_invariant": (q_text_bytes_invariant, o_text_bytes_invariant),
+    "spatial_knn": (q_spatial_knn, o_spatial_knn),
+    "spatial_knn_pruned": (q_spatial_knn_pruned, o_spatial_knn),
+    "pages_html_invariant": (q_pages_html_invariant,
+                             o_pages_html_invariant),
     "rel_pricing_summary": (q_rel_pricing_summary, o_rel_pricing_summary),
+    "rel_join_revenue_by_nation": (q_rel_join_revenue_by_nation,
+                                   o_rel_join_revenue_by_nation),
+    "rel_anti_join_customers": (q_rel_anti_join_customers,
+                                o_rel_anti_join_customers),
     "rel_top_orders_per_cust": (q_rel_top_orders_per_cust,
                                 o_rel_top_orders_per_cust),
     **KERNEL_QUERIES,

@@ -23,6 +23,11 @@ def get_spark(app: str = "dle", master: str | None = None,
     b = (
         SparkSession.builder.appName(app)
         .master(master)
+        # local-mode driver IS the executor: size the heap for 32
+        # concurrent tasks (takes effect when this process launches
+        # the JVM; a no-op on an already-running session)
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE skew-join splitting stays on — the built-in answer to the

@@ -1,0 +1,45 @@
+"""Spatial kNN operator (north_star op)."""
+
+from __future__ import annotations
+
+from dle import queries as q
+from dle import sqlgen
+from dle.operators.knn import knn_candidates_cells, knn_join_rects
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_knn_ranks_are_dense_and_distance_sorted(spark):
+    out = q.q_spatial_knn(spark, SF).collect()
+    by_pt = {}
+    for r in out:
+        by_pt.setdefault((r["page_id"], r["cand_i"]), []).append(
+            (r["rank"], r["d2"], r["feat_id"]))
+    assert by_pt
+    for pt, rows in by_pt.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        d2s = [r[1] for r in rows]
+        assert d2s == sorted(d2s), pt
+
+
+def test_cell_candidates_superset_of_local_topk(spark):
+    """Scale-path pre-filter: if a point's true nearest neighbor lies
+    within the cell ring, it must be in the candidate set."""
+    pts = sqlgen.spark_view(spark, SF, "points").select(
+        "page_id", "cand_i", "px", "py")
+    lay = sqlgen.spark_view(spark, SF, "layers")
+    true1 = {(r["page_id"], r["cand_i"]): (r["feat_id"], r["d2"])
+             for r in knn_join_rects(pts, lay, k=1).collect()}
+    cand = knn_candidates_cells(pts, lay, depth=3, ring=1)
+    cand_set = {(r["page_id"], r["cand_i"], r["feat_id"])
+                for r in cand.select("page_id", "cand_i",
+                                     "feat_id").collect()}
+    from dle.config import res_at
+    ring_reach = res_at(3) ** 2  # anything nearer than one cell side
+    checked = 0
+    for (pid, ci), (fid, d2) in true1.items():
+        if d2 < ring_reach:
+            assert (pid, ci, fid) in cand_set, (pid, ci, fid, d2)
+            checked += 1
+    assert checked > 0
