@@ -238,6 +238,44 @@ def insert_difference(existing: DataFrame | None, src: DataFrame,
                .applyInPandas(do_diff, out_schema))
 
 
+def insert_difference_fused(src: DataFrame, order_col: str = "process_order",
+                            geom: str = "geom", grid: float = GRID,
+                            sliver: float = SLIVER_AREA) -> DataFrame:
+    """A5/A6 with the layer loop FUSED into one shuffle: because
+    insert_difference is per-cell independent (tiled inputs never
+    interact across cells), the ascending-process_order accumulate-and-
+    difference loop can run inside one applyInPandas per cell instead
+    of L sequential Spark jobs. Output rows and geometry are identical
+    to the driver-loop form (same oracle at the gate); wall clock is
+    one wide stage instead of L barriers."""
+    out_schema = _schema_of(src)
+    cols = list(src.columns)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: list = []
+        outs, keep = [], []
+        # layers of equal order diff only against EARLIER layers (the
+        # loop form's semantics), so accumulate per order batch
+        for po_val in sorted(pdf[order_col].unique()):
+            batch = np.flatnonzero(
+                (pdf[order_col] == po_val).to_numpy())
+            batch_rings = []
+            for i in batch:
+                rings = wkb.parse_rings(bytes(pdf[geom].iloc[i]))
+                batch_rings.append(rings)
+                d = rings if not acc else K.difference(rings, acc, grid)
+                if d and K.area(d) > sliver:
+                    outs.append(wkb.rings_wkb(d))
+                    keep.append(i)
+            for rings in batch_rings:
+                acc.extend(rings)
+        res = pdf.iloc[keep].copy()
+        res[geom] = outs
+        return res[cols]
+
+    return src.groupBy("cell").applyInPandas(fold, out_schema)
+
+
 # -------------------------------------------------- planarize (A7)
 
 PLANARIZE_SCHEMA = (

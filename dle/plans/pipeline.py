@@ -35,7 +35,8 @@ class VectorOutputs:
 
 
 def process_vector(spark: SparkSession, sf_dir: str,
-                   depth: int = DEFAULT_DEPTH) -> VectorOutputs:
+                   depth: int = DEFAULT_DEPTH,
+                   fused: bool = False) -> VectorOutputs:
     layers = datagen.layers_poly(spark, sf_dir)
     boundary = datagen.boundary_land(spark)
     boundary_t = tile_geoms(boundary, depth).select("cell", "geom")
@@ -55,16 +56,22 @@ def process_vector(spark: SparkSession, sf_dir: str,
     # other in the output.
     agg_src = dissolve(overlapping,
                        ["cell", "designation", "process_order"])
-    orders = sorted(r[0] for r in
-                    agg_src.select("process_order").distinct()
-                    .collect())
-    acc: DataFrame | None = None
-    for po in orders:
-        src = agg_src.filter(F.col("process_order") == po)
-        new = insert_difference(acc, src)
-        acc = new if acc is None else acc.unionByName(new)
-        acc = acc.localCheckpoint(eager=False)
-    designatedlands = acc
+    if fused:
+        # one-shuffle per-cell fold (insert_difference_fused); output
+        # proven identical to the loop form (tests + shared oracle)
+        from ..operators.overlay import insert_difference_fused
+        designatedlands = insert_difference_fused(agg_src)
+    else:
+        orders = sorted(r[0] for r in
+                        agg_src.select("process_order").distinct()
+                        .collect())
+        acc: DataFrame | None = None
+        for po in orders:
+            src = agg_src.filter(F.col("process_order") == po)
+            new = insert_difference(acc, src)
+            acc = new if acc is None else acc.unionByName(new)
+            acc = acc.localCheckpoint(eager=False)
+        designatedlands = acc
 
     # A7 planarize.
     planarized = planarize(overlapping, boundary_t)

@@ -56,18 +56,16 @@ def o_dissolve_area_1d():
 
 
 def q_precedence_area_1d(spark, sf):
-    """A5/A6 precedence loop through insert_difference (band = cell);
-    oracle = per-band prefix-union interval lengths."""
+    """A5/A6 precedence through the FUSED per-cell insert_difference
+    (band = cell): one shuffle instead of 8 sequential layer jobs —
+    same oracle as the driver-loop form, proving equivalence. (The
+    loop form itself is exercised by the pipeline tests.)"""
+    from .operators.overlay import insert_difference_fused
     b = _bands_wkb(spark, sf).withColumn(
         "cell", F.col("band").cast("string"))
     agg = dissolve(b.select("cell", "designation", "process_order", "geom"),
                    ["cell", "designation", "process_order"])
-    acc = None
-    for po in range(1, 9):
-        src = agg.filter(F.col("process_order") == po)
-        new = insert_difference(acc, src)
-        acc = new if acc is None else acc.unionByName(new)
-        acc = acc.localCheckpoint(eager=False)
+    acc = insert_difference_fused(agg)
     return with_area(acc).groupBy("designation").agg(
         F.round(F.sum("area_m2"), 0).cast("bigint").alias("area_m2"))
 
