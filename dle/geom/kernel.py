@@ -439,6 +439,19 @@ def rasterize_mask(rings: list, x0: float, y0: float, res: float,
     with np.errstate(divide="ignore", invalid="ignore"):
         xi = ex0 + (ys[:, None] - ey0) * (ex1 - ex0) / (ey1 - ey0)
     xs = x0 + (np.arange(nx) + 0.5) * res           # (nx,)
+    e = len(ex0)
+    if ny * e <= 4_000_000:
+        # fully vectorized parity: for each crossing x-value v, the
+        # first pixel-center index with v < center is
+        # i0 = floor((v-x0)/res - 0.5) + 1; histogram i0 per row, then
+        # a prefix sum gives #crossings strictly left of every center.
+        t = np.floor((xi - x0) / res - 0.5) + 1
+        i0 = np.clip(t, 0, nx).astype(np.int64)     # (ny, E)
+        cnt = np.zeros((ny, nx + 1), dtype=np.int64)
+        rows = np.broadcast_to(np.arange(ny)[:, None], (ny, e))
+        np.add.at(cnt, (rows[cross], i0[cross]), 1)
+        n_left = np.cumsum(cnt[:, :nx], axis=1)
+        return (n_left & 1).astype(bool)
     for j in range(ny):
         cj = cross[j]
         if not cj.any():
