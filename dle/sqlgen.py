@@ -88,7 +88,8 @@ captures as (
   from pages where h64 % 20 = 0
 ),
 points as (
-  select p.page_id, p.url, p.h64, p.hy, c.cand_i,
+  select p.page_id, p.url, p.h64, p.hy,
+         cast(c.cand_i as int) as cand_i,
          cast({XMIN!r} as double) + ((p.h64 + c.cand_i * 7919) % {WIDTH_I}) + 0.5 as px,
          cast({YMIN!r} as double) + ((p.hy + c.cand_i * 104729) % {HEIGHT_I}) + 0.5 as py
   from pages p join {cand}

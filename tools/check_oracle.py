@@ -48,6 +48,29 @@ def table_hash(cols, rows):
     return h.hexdigest()
 
 
+_DUCK_CANON = {
+    "BIGINT": "bigint", "INTEGER": "int", "SMALLINT": "int",
+    "DOUBLE": "double", "FLOAT": "float", "VARCHAR": "string",
+    "BLOB": "binary", "BOOLEAN": "boolean", "HUGEINT": "hugeint",
+    "DECIMAL": "decimal", "TIMESTAMP": "timestamp", "DATE": "date",
+}
+
+
+def canon_duck(t: str) -> str:
+    return _DUCK_CANON.get(t.split("(")[0].upper(), t.lower())
+
+
+def type_mismatches(sdf, dcols, dtypes) -> list[str]:
+    stypes = {f.name: f.dataType.simpleString() for f in sdf.schema}
+    out = []
+    for c, t in zip(dcols, dtypes):
+        dc = canon_duck(t)
+        sc = stypes.get(c)
+        if sc is not None and dc != sc:
+            out.append(f"{c}: spark={sc} duckdb={dc}")
+    return out
+
+
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] \
         else "/root/testdata/sf0.01"
@@ -78,9 +101,10 @@ def main():
             print(f"OK?  {name}: rows-only ({len(srows)} rows, no oracle)")
             continue
         try:
-            res = con.execute(os_[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(os_[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error {str(e)[:300]}")
             fails.append(name)
@@ -90,6 +114,9 @@ def main():
             problems.append(f"rows {len(srows)} != {len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} != {sorted(dcols)}")
+        tm = type_mismatches(sdf, dcols, dtypes)
+        if tm:
+            problems.append(f"type mismatch: {tm}")
         if not problems:
             sh = table_hash(scols, [tuple(r) for r in srows])
             dh = table_hash(dcols, drows)
