@@ -36,6 +36,23 @@ import numpy as np
 # vertex quantum for ring assembly (in snapped-int units): 2^-20
 _Q = 1048576.0
 
+# Lossy-fallback telemetry (SURVEY §2 I2/I3): the reference's safe-op
+# ladders LOG when they fall back to a lossy repair
+# (/root/reference/sql/ST_Safe_Difference.sql:70-80 NOTICEs). The slab
+# kernel's analogue of a lossy event is a broken ring chain dropped
+# during assembly (`break # defensive` below). Workers count drops
+# here; operators drain the counter into a Spark accumulator so the
+# pipeline can surface a cluster-wide lossy-fallback metric.
+DROPPED_FRAGMENTS = 0
+
+
+def pop_dropped_fragments() -> int:
+    """Return and reset the worker-local dropped-fragment count."""
+    global DROPPED_FRAGMENTS
+    n = DROPPED_FRAGMENTS
+    DROPPED_FRAGMENTS = 0
+    return n
+
 
 def rect_rings(x0: float, y0: float, x1: float, y1: float) -> list:
     return [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
@@ -126,7 +143,6 @@ def _crossing_xs(x0, y0, x1, y1) -> np.ndarray:
         if not proper.any():
             continue
         t = d1[proper] / (d1[proper] - d2[proper])
-        xi = (ax0 + t * 0)  # placeholder shape fix below
         ai, bi = np.nonzero(proper)
         xi = x0[sl][ai] + t * (x1[sl][ai] - x0[sl][ai])
         out.append(xi)
@@ -299,6 +315,8 @@ def _assemble(traps: list[Trap], grid: float) -> list:
             ring.append(cur)
             cands = out_edges.get(cur)
             if not cands:
+                global DROPPED_FRAGMENTS
+                DROPPED_FRAGMENTS += 1
                 break  # defensive: broken chain, drop fragment
             if len(cands) == 1:
                 nxt = cands[0]

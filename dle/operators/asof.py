@@ -35,7 +35,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
             for c in extra:
                 out[c] = None
             return out
-        r = rpdf.sort_values(right_ts, kind="mergesort")
+        # Sort by (ts, payload...) — not ts alone — so the row chosen
+        # among equal right_ts values is deterministic regardless of
+        # the incoming partition-dependent row order (cross-engine
+        # determinism rule; searchsorted picks the LAST among equals).
+        cols = [right_ts] + [c for c in extra if c != right_ts]
+        try:
+            r = rpdf.sort_values(cols, kind="mergesort")
+        except TypeError:  # unorderable payload type: ts-only order
+            r = rpdf.sort_values(right_ts, kind="mergesort")
         rts = r[right_ts].to_numpy()
         idx = np.searchsorted(rts, lpdf[left_ts].to_numpy(),
                               side="right") - 1

@@ -127,7 +127,10 @@ def dissolve(df: DataFrame, keys: list[str], geom: str = "geom",
             [wkb.parse_rings(bytes(b)) for b in pdf[geom]], grid)
         head = pdf.iloc[:1][keys]
         if not rings:
-            return head.iloc[0:0].assign(**{geom: []})
+            empty = head.iloc[0:0].assign(**{geom: []})
+            if explode_parts:
+                empty = empty.assign(part_i=pd.array([], dtype="int32"))
+            return empty
         if not explode_parts:
             return head.assign(**{geom: [wkb.rings_wkb(rings)]})
         parts = split_parts(rings)
@@ -245,30 +248,42 @@ def insert_difference_fused(src: DataFrame, order_col: str = "process_order",
     insert_difference is per-cell independent (tiled inputs never
     interact across cells), the ascending-process_order accumulate-and-
     difference loop can run inside one applyInPandas per cell instead
-    of L sequential Spark jobs. Output rows and geometry are identical
-    to the driver-loop form (same oracle at the gate); wall clock is
+    of L sequential Spark jobs. Semantics match the driver-loop form
+    exactly: the first order batch passes through unfiltered
+    (insert_difference returns src when existing is None), later
+    batches diff against the accumulated post-sliver-drop OUTPUT
+    geometry (the loop unions each round's NEW rows into `existing`),
+    and sliver drops (<= sliver m^2, insert_difference.sql:75) remove
+    the row from both the output and the accumulator. Wall clock is
     one wide stage instead of L barriers."""
     out_schema = _schema_of(src)
     cols = list(src.columns)
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc: list = []
+        acc: list = []   # rings of OUTPUT rows so far (loop's `existing`)
         outs, keep = [], []
+        first = True
         # layers of equal order diff only against EARLIER layers (the
         # loop form's semantics), so accumulate per order batch
         for po_val in sorted(pdf[order_col].unique()):
             batch = np.flatnonzero(
                 (pdf[order_col] == po_val).to_numpy())
-            batch_rings = []
+            batch_out: list = []
             for i in batch:
                 rings = wkb.parse_rings(bytes(pdf[geom].iloc[i]))
-                batch_rings.append(rings)
-                d = rings if not acc else K.difference(rings, acc, grid)
+                if first:
+                    # loop form: insert_difference(None, src) == src
+                    outs.append(bytes(pdf[geom].iloc[i]))
+                    keep.append(i)
+                    batch_out.extend(rings)
+                    continue
+                d = K.difference(rings, acc, grid)
                 if d and K.area(d) > sliver:
                     outs.append(wkb.rings_wkb(d))
                     keep.append(i)
-            for rings in batch_rings:
-                acc.extend(rings)
+                    batch_out.extend(d)
+            acc.extend(batch_out)
+            first = False
         res = pdf.iloc[keep].copy()
         res[geom] = outs
         return res[cols]

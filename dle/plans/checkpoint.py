@@ -52,14 +52,21 @@ class Manifest:
 
 
 def run_stage(spark, manifest: Manifest, stage: str, fingerprint: str,
-              build_df, out_root: str,
-              partition_col: str = "cell") -> DataFrame:
+              build_df, out_root: str, partition_col: str = "cell",
+              planned_cells: list[str] | None = None) -> DataFrame:
     """Compute-or-resume one pipeline stage.
 
     ``build_df(skip_cells: set[str]) -> DataFrame`` must prune the given
     completed cells as early as possible in its plan. Output parquet is
     partitioned by cell; a changed fingerprint invalidates everything.
-    """
+
+    Crash-safe by construction: the parquet commit uses DYNAMIC
+    partition overwrite, so a cell interrupted between its parquet
+    commit and its manifest append is simply recomputed on resume and
+    REPLACES its partition — never appends a duplicate. When the caller
+    supplies ``planned_cells`` (the cell universe for the stage),
+    zero-row cells are recorded as done too, so they are not recomputed
+    on every resume."""
     out_dir = Path(out_root) / stage
     if manifest.stale(stage, fingerprint):
         manifest.clear(stage)
@@ -69,21 +76,31 @@ def run_stage(spark, manifest: Manifest, stage: str, fingerprint: str,
     t0 = time.perf_counter()
     if done:
         df = df.filter(~F.col(partition_col).isin(list(done)))
-    (df.write.mode("append").partitionBy(partition_col)
-       .parquet(str(out_dir)))
+    conf = spark.conf
+    prev_mode = conf.get("spark.sql.sources.partitionOverwriteMode",
+                         "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (df.write.mode("overwrite").partitionBy(partition_col)
+           .parquet(str(out_dir)))
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     wall_ms = int(1000 * (time.perf_counter() - t0))
     result = spark.read.parquet(str(out_dir))
     # guard against partition-column type inference (quadkeys like
     # "000" must stay strings) under sessions we didn't configure
     result = result.withColumn(
         partition_col, F.col(partition_col).cast("string"))
-    new_counts = [r for r in
-                  result.groupBy(partition_col).count().collect()
-                  if r[partition_col] not in done]
-    recs = [{"stage": stage, "cell": r[partition_col],
-             "fingerprint": fingerprint, "rows": r["count"],
+    counts = {r[partition_col]: r["count"] for r in
+              result.groupBy(partition_col).count().collect()}
+    new_cells = (
+        [c for c in planned_cells if c not in done]
+        if planned_cells is not None else
+        [c for c in counts if c not in done])
+    recs = [{"stage": stage, "cell": c,
+             "fingerprint": fingerprint, "rows": counts.get(c, 0),
              "wall_ms": wall_ms, "status": "ok",
-             "ts": int(time.time())} for r in new_counts]
+             "ts": int(time.time())} for c in new_cells]
     if recs:
         manifest.append(stage, recs)
     return result

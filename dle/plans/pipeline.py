@@ -36,7 +36,8 @@ class VectorOutputs:
 
 def process_vector(spark: SparkSession, sf_dir: str,
                    depth: int = DEFAULT_DEPTH,
-                   fused: bool = False) -> VectorOutputs:
+                   fused: bool = False,
+                   ckpt_root: str | None = None) -> VectorOutputs:
     layers = datagen.layers_poly(spark, sf_dir)
     boundary = datagen.boundary_land(spark)
     boundary_t = tile_geoms(boundary, depth).select("cell", "geom")
@@ -66,11 +67,36 @@ def process_vector(spark: SparkSession, sf_dir: str,
                         agg_src.select("process_order").distinct()
                         .collect())
         acc: DataFrame | None = None
-        for po in orders:
-            src = agg_src.filter(F.col("process_order") == po)
-            new = insert_difference(acc, src)
-            acc = new if acc is None else acc.unionByName(new)
-            acc = acc.localCheckpoint(eager=False)
+        if ckpt_root is None:
+            # local/interactive: flatten lineage per layer. On a real
+            # cluster pass ckpt_root — localCheckpoint pins lineage to
+            # executor storage and dies with an executor.
+            for po in orders:
+                src = agg_src.filter(F.col("process_order") == po)
+                new = insert_difference(acc, src)
+                acc = new if acc is None else acc.unionByName(new)
+                acc = acc.localCheckpoint(eager=False)
+        else:
+            # Cluster-safe + resumable: each layer's accumulated output
+            # is committed to reliable storage through the Manifest
+            # (idempotent dynamic-partition-overwrite commits). A run
+            # killed mid-loop resumes at the first layer without
+            # manifest rows; completed layers reload from parquet.
+            from .checkpoint import Manifest, run_stage
+            man = Manifest(f"{ckpt_root}/manifest")
+            fingerprint = f"{sf_dir}|depth={depth}|v1"
+            for po in orders:
+                stage = f"precedence_{int(po):03d}"
+                if (not man.stale(stage, fingerprint)
+                        and man.rows(stage)):
+                    acc = spark.read.parquet(f"{ckpt_root}/{stage}") \
+                        .withColumn("cell", F.col("cell").cast("string"))
+                    continue
+                src = agg_src.filter(F.col("process_order") == po)
+                new = insert_difference(acc, src)
+                nxt = new if acc is None else acc.unionByName(new)
+                acc = run_stage(spark, man, stage, fingerprint,
+                                lambda skip, df=nxt: df, ckpt_root)
         designatedlands = acc
 
     # A7 planarize.

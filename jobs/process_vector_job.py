@@ -30,7 +30,10 @@ def main():
     from dle.sources.io import dump
 
     man = Manifest(f"{out_dir}/manifest")
-    out = process_vector(spark, sf_dir, depth=depth)
+    # ckpt_root => the precedence loop commits each layer to reliable
+    # storage (resume-safe on executor loss; no localCheckpoint).
+    out = process_vector(spark, sf_dir, depth=depth,
+                         ckpt_root=f"{out_dir}/stages")
     fingerprint = f"{sf_dir}|depth={depth}"
     planar = run_stage(
         spark, man, "planarized", fingerprint,
