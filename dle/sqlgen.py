@@ -198,7 +198,8 @@ def register_tables(spark, sf_dir: str) -> None:
     par = spark.sparkContext.defaultParallelism
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        if t in ("orders", "lineitem", "events") \
+        if t in ("orders", "lineitem", "events", "documents",
+                 "embeddings") \
                 and df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
         df.createOrReplaceTempView(t)

@@ -39,6 +39,38 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "struct<o_orderkey:bigint>" in plan  # column pruning
 
 
+def test_dedup_simhash_has_no_python_stage(spark):
+    """VERDICT r1 #1: simhash must be pure JVM — no row-at-a-time or
+    Arrow Python eval anywhere in the plan."""
+    plan = _plan(q.queries()["dedup_simhash"](spark, SF))
+    assert "EvalPython" not in plan          # Batch/ArrowEvalPython
+    assert "FlatMapGroupsInPandas" not in plan
+    # the signature computes inside the scan stage: no key shuffle
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_dedup_simhash_matches_scalar_reference(spark):
+    """Engine JVM path reproduces the scalar md5 simhash definition."""
+    from dle.queries_text import _simhash_py
+    df = q.queries()["dedup_simhash"](spark, SF)
+    rows = df.collect()
+    sqlgen.register_tables(spark, SF)
+    texts = {r["doc_id"]: r["text"]
+             for r in spark.table("documents").collect()}
+    got = {r["doc_id"]: r["simhash"] for r in rows}
+    for did, text in list(texts.items())[:50]:
+        assert got[did] == _simhash_py(text), did
+
+
+def test_dedup_minhash_single_hash_per_token(spark):
+    """VERDICT r1 #2: one md5 per token — the plan contains exactly one
+    md5 call and no crossJoin row blowup."""
+    plan = _plan(q.queries()["dedup_minhash_buckets"](spark, SF))
+    assert plan.count("md5(") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dissolve_shuffles_once_by_keys(spark):
     from dle import datagen
     from dle.operators.overlay import dissolve
