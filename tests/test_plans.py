@@ -71,6 +71,17 @@ def test_dedup_minhash_single_hash_per_token(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_tile_geoms_has_no_shuffle(spark):
+    """VERDICT r1 #4: tiling is per-row independent — the tile-only
+    path must not exchange the fact table; only ops that group
+    (dissolve/cogroup) may shuffle."""
+    from dle import datagen
+    from dle.operators.overlay import tile_geoms
+    lay = datagen.layers_poly(spark, SF)
+    plan = _plan(tile_geoms(lay, 3))
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_dissolve_shuffles_once_by_keys(spark):
     from dle import datagen
     from dle.operators.overlay import dissolve
