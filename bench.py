@@ -39,6 +39,8 @@ HEADLINE = [
     "spatial_knn_pruned",
     "rel_join_revenue_by_nation",
     "overlay_dissolve_area_1d",
+    "overlay_intersect_pairs",
+    "overlay_clip_area",
     "overlay_precedence_area_1d",
     "overlay_planarize_coverage_1d",
     "dedup_exact",

@@ -188,8 +188,96 @@ def o_planarize_labels_1d():
  from cov group by label""")
 
 
+# Cross-shaped clip boundary (two overlapping rectangles): exercises
+# the kernel's union+intersection on boundary cells while staying
+# SQL-checkable via inclusion-exclusion. All coords integral doubles.
+from .config import XMIN, YMIN  # noqa: E402
+
+R1 = (XMIN + 300000.5, YMIN + 0.5, XMIN + 700000.5, YMIN + 1240000.5)
+R2 = (XMIN + 0.5, YMIN + 300000.5, XMIN + 1300000.5, YMIN + 800000.5)
+R12 = (max(R1[0], R2[0]), max(R1[1], R2[1]),
+       min(R1[2], R2[2]), min(R1[3], R2[3]))
+
+
+def q_intersect_pairs(spark, sf):
+    """A8 generic spatial overlay (the reference's user-facing
+    `overlay IN OUT`, designatedlands.py:1002-1090 / sql/
+    intersect.sql:16-73) through the REAL operator: tile both sides,
+    cell cogroup, kernel pairwise intersection, empty purge. Output =
+    total intersection area per (a, b) pair; oracle = 1-D interval
+    overlap x band height (rects in the same y-band share the full
+    band height; cross-band pairs are disjoint)."""
+    from .operators.intersect import spatial_overlay
+    b = _bands_wkb(spark, sf)
+    a_side = b.where("feat_id % 2 = 0").select(
+        F.col("feat_id").alias("a_id"), "geom")
+    b_side = b.where("feat_id % 2 = 1").select(
+        F.col("feat_id").alias("b_id"), "geom")
+    out = spatial_overlay(a_side, b_side)
+    return with_area(out).groupBy("a_id", "b_id").agg(
+        F.round(F.sum("area_m2"), 0).cast("bigint").alias("area_m2"))
+
+
+def o_intersect_pairs():
+    return (preamble("duckdb", pages=False, layers=False, bands=True) + f"""
+ select a.feat_id as a_id, b.feat_id as b_id,
+        cast(round((least(a.bx1, b.bx1) - greatest(a.bx0, b.bx0))
+                   * {BAND_H!r}, 0) as bigint) as area_m2
+ from bands a join bands b
+   on a.band = b.band
+  and least(a.bx1, b.bx1) > greatest(a.bx0, b.bx0)
+ where a.feat_id % 2 = 0 and b.feat_id % 2 = 1""")
+
+
+def q_clip_area(spark, sf):
+    """A1 clip through the kernel (designatedlands.py:82-99): intersect
+    every band feature with the UNION of a cross-shaped two-rectangle
+    boundary, keeping A attributes. Interior cells take the
+    covered-by fastpath; boundary cells run the slab kernel's
+    union+intersection. Oracle = inclusion-exclusion over rectangles
+    (area(f∩(R1∪R2)) = a1 + a2 - a12)."""
+    import numpy as np
+
+    from .geom import wkb as W
+    from .operators.overlay import clip
+
+    b = _bands_wkb(spark, sf).select("designation", "feat_id", "geom")
+
+    def rect_wkb(x0, y0, x1, y1):
+        return W.polygon_wkb([np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+            dtype=np.float64)])
+
+    bnd = spark.createDataFrame(
+        [(bytearray(rect_wkb(*R1)),), (bytearray(rect_wkb(*R2)),)],
+        "geom binary")
+    from .config import DEFAULT_DEPTH
+    c = clip(b, bnd, DEFAULT_DEPTH)
+    return (with_area(c).groupBy("designation")
+            .agg(F.round(F.sum("area_m2"), 0).cast("bigint")
+                 .alias("area_m2")))
+
+
+def o_clip_area():
+    def ovl(r):
+        x0, y0, x1, y1 = r
+        return (f"greatest(least(bx1, {x1!r}) - greatest(bx0, {x0!r}),"
+                f" 0.0) * greatest(least(by1, {y1!r}) -"
+                f" greatest(by0, {y0!r}), 0.0)")
+
+    return (preamble("duckdb", pages=False, layers=False, bands=True) + f"""
+ , per_feat as (
+   select designation,
+          {ovl(R1)} + {ovl(R2)} - {ovl(R12)} as a
+   from bands)
+ select designation, cast(round(sum(a), 0) as bigint) as area_m2
+ from per_feat group by designation having sum(a) > 0""")
+
+
 KERNEL_QUERIES = {
     "overlay_dissolve_area_1d": (q_dissolve_area_1d, o_dissolve_area_1d),
+    "overlay_intersect_pairs": (q_intersect_pairs, o_intersect_pairs),
+    "overlay_clip_area": (q_clip_area, o_clip_area),
     "overlay_precedence_area_1d": (q_precedence_area_1d,
                                    o_precedence_area_1d),
     "overlay_planarize_coverage_1d": (q_planarize_coverage_1d,
