@@ -49,6 +49,7 @@ HEADLINE = [
     "text_stats",
     "ann_cosine_topk",
     "ann_lsh_buckets",
+    "ann_lsh_topk",
     "events_window_stats",
     "asof_click_purchase",
 ]

@@ -370,6 +370,147 @@ def o_ann_lsh_buckets():
  from emb group by 1"""
 
 
+# Bucketed ANN search (VERDICT r1 #3): 4 bands x 8 bits from 32
+# hyperplanes. Band match => candidate; queries with < K_MIN distinct
+# candidates fall back to brute force, so the operator is total.
+ANN_BANDS = 4
+ANN_BITS = 8
+ANN_K = 3
+
+
+def _band_planes() -> list[list[list[float]]]:
+    hp = _hyperplanes(64, ANN_BANDS * ANN_BITS)
+    return [hp[b * ANN_BITS:(b + 1) * ANN_BITS] for b in range(ANN_BANDS)]
+
+
+_DOT = ("aggregate(zip_with(q, v, (x, y) -> x * y), 0D,"
+        " (acc, x) -> acc + x)")
+_NQ = ("aggregate(zip_with(q, q, (x, y) -> x * y), 0D,"
+       " (acc, x) -> acc + x)")
+_NV = ("aggregate(zip_with(v, v, (x, y) -> x * y), 0D,"
+       " (acc, x) -> acc + x)")
+
+
+def q_ann_lsh_topk(spark, sf):
+    """End-to-end bucketed ANN: band signatures -> band equi-join
+    candidates -> within-candidate cosine top-k -> brute-force fallback
+    for queries with too few candidates.
+
+    Scale shape (10^12 corpus): signatures compute in the scan stage
+    (array aggregates, zero Python); the candidate join is an equi-join
+    on (band, sig) — shuffle bounded by bucket collision volume, never
+    the full cross product; only under-filled queries pay the brute
+    path. Oracle = the identical algorithm in DuckDB SQL, so the gate
+    verifies candidate generation, fallback trigger, and ranking
+    exactly."""
+    register_tables(spark, sf)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("v"))
+
+    def sig_col(planes):
+        bits = None
+        for j, hp in enumerate(planes):
+            lit = "array(" + ", ".join(repr(x) for x in hp) + ")"
+            dot = (f"aggregate(zip_with(v, {lit}, (x, y) -> x * y), 0D,"
+                   " (acc, x) -> acc + x)")
+            b = F.when(F.expr(dot) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            bits = b if bits is None else bits + b
+        return bits
+
+    sigs = emb.select(
+        "vec_id", "v",
+        *[sig_col(p).alias(f"s{b}")
+          for b, p in enumerate(_band_planes())])
+    qs = sigs.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"),
+        *[F.col(f"s{b}").alias(f"qs{b}") for b in range(ANN_BANDS)])
+    cs = sigs.where("vec_id >= 5")
+
+    qb = qs.select("query_id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"qs{b}").alias("sig"))
+        for b in range(ANN_BANDS)])).alias("e")) \
+        .select("query_id", "e.band", "e.sig")
+    cb = cs.select("vec_id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"s{b}").alias("sig"))
+        for b in range(ANN_BANDS)])).alias("e")) \
+        .select("vec_id", "e.band", "e.sig")
+    cand = (F.broadcast(qb).join(cb, ["band", "sig"])
+            .select("query_id", "vec_id").distinct())
+
+    n_cand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n"))
+    eligible = n_cand.where(F.col("_n") >= ANN_K).select("query_id")
+    pairs_lsh = cand.join(F.broadcast(eligible), "query_id")
+    pairs_brute = (qs.select("query_id")
+                   .join(F.broadcast(eligible), "query_id", "left_anti")
+                   .crossJoin(cs.select("vec_id")))
+    pairs = pairs_lsh.unionByName(pairs_brute)
+
+    scored = (pairs
+              .join(F.broadcast(qs.select("query_id", "q")), "query_id")
+              .join(cs.select("vec_id", "v"), "vec_id")
+              .select("query_id", "vec_id",
+                      F.expr(f"({_DOT}) / (sqrt({_NQ}) * sqrt({_NV}))")
+                      .alias("cos")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(f"rank <= {ANN_K}")
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "rank", F.round("cos", 6).alias("cos_r")))
+
+
+def o_ann_lsh_topk():
+    def sig_sql(planes):
+        terms = []
+        for j, hp in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in hp) + "]"
+            terms.append(f"(case when list_dot_product(v, {lit}) > 0 "
+                         f"then {1 << j} else 0 end)")
+        return " + ".join(terms)
+
+    sig_cols = ", ".join(
+        f"cast({sig_sql(p)} as int) as s{b}"
+        for b, p in enumerate(_band_planes()))
+    band_match = " or ".join(
+        f"q.s{b} = c.s{b}" for b in range(ANN_BANDS))
+    return f"""
+ with emb as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+ sig as (select vec_id, v, {sig_cols} from emb),
+ q as (select * from sig where vec_id < 5),
+ c as (select * from sig where vec_id >= 5),
+ cand as (
+   select distinct q.vec_id as query_id, c.vec_id as cand_id
+   from q join c on {band_match}),
+ eligible as (
+   select query_id from cand group by query_id
+   having count(*) >= {ANN_K}),
+ pairs as (
+   select query_id, cand_id from cand
+   where query_id in (select query_id from eligible)
+   union all
+   select q.vec_id, c.vec_id from q, c
+   where q.vec_id not in (select query_id from eligible)),
+ scored as (
+   select p.query_id, p.cand_id as neighbor_id,
+          list_dot_product(q.v, c.v)
+            / (sqrt(list_dot_product(q.v, q.v))
+               * sqrt(list_dot_product(c.v, c.v))) as cos
+   from pairs p
+   join q on q.vec_id = p.query_id
+   join c on c.vec_id = p.cand_id),
+ ranked as (
+   select query_id, neighbor_id, cos,
+          row_number() over (partition by query_id
+                             order by cos desc, neighbor_id) as rank
+   from scored)
+ select query_id, neighbor_id, cast(rank as int) as rank,
+        round(cos, 6) as cos_r
+ from ranked where rank <= {ANN_K}"""
+
+
 # ----------------------------------------------------------- events
 
 _EPOCH_US = ("cast(unix_timestamp(ts) as bigint) * 1000000"
@@ -483,6 +624,7 @@ TEXT_QUERIES = {
     "text_langid": (q_text_langid, o_text_langid),
     "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
     "ann_lsh_buckets": (q_ann_lsh_buckets, o_ann_lsh_buckets),
+    "ann_lsh_topk": (q_ann_lsh_topk, o_ann_lsh_topk),
     "events_window_stats": (q_events_window_stats, o_events_window_stats),
     "events_sessions": (q_events_sessions, o_events_sessions),
     "asof_click_purchase": (q_asof_click_purchase, o_asof_click_purchase),
