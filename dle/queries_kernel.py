@@ -274,6 +274,155 @@ def o_clip_area():
  from per_feat group by designation having sum(a) > 0""")
 
 
+# --- qa.sql invariants as gate rows (VERDICT r1 #6) ----------------
+# Land boundary for the band world: one rectangle covering every band
+# strip. Planarized faces must tile it exactly (qa.sql:42-43), per-
+# designation overlapping vs planarized areas must agree (qa.sql:8-38,
+# with the reference's `&&` array-overlap join as a REAL arrays_overlap
+# join — E7), and per-class restriction sums must cover it (:190-213).
+QB = (XMIN + 0.5, YMIN + 0.5, XMIN + 1402000.5, YMIN + 1240000.5)
+QB_AREA = int((QB[2] - QB[0]) * (QB[3] - QB[1]))
+
+
+def _qa_world(spark, sf):
+    """Tiled designations (with registry-style columns derived from
+    feat_id) + tiled band-world boundary, both at DEFAULT_DEPTH."""
+    import numpy as np
+
+    from .config import DEFAULT_DEPTH
+    from .geom import wkb as W
+    from .operators.overlay import tile_geoms
+
+    b = _bands_wkb(spark, sf).select(
+        "designation", "process_order", "feat_id", "geom",
+        F.concat_ws("-", "designation", "feat_id").alias("src_id"),
+        (F.col("feat_id") % 6).cast("int").alias("forest_restriction"),
+        ((F.col("feat_id") + 1) % 6).cast("int").alias("og_restriction"),
+        ((F.col("feat_id") + 2) % 6).cast("int").alias("mine_restriction"))
+    tiled = tile_geoms(b, DEFAULT_DEPTH).drop("bx0", "by0", "bx1", "by1")
+    bnd = spark.createDataFrame(
+        [(bytearray(W.polygon_wkb([np.array(
+            [[QB[0], QB[1]], [QB[2], QB[1]], [QB[2], QB[3]],
+             [QB[0], QB[3]], [QB[0], QB[1]]], dtype=np.float64)])),)],
+        "geom binary")
+    bnd_t = tile_geoms(bnd, DEFAULT_DEPTH).select("cell", "geom")
+    return tiled, bnd_t
+
+
+def q_qa_planarized_totals(spark, sf):
+    """qa.sql:42-43: sum of planarized face areas == land area, both
+    engine-computed (faces via the A7 kernel, land via tile+area);
+    oracle = the closed-form rectangle area on both columns."""
+    from .operators.overlay import planarize, with_area
+    tiled, bnd_t = _qa_world(spark, sf)
+    faces = planarize(tiled, bnd_t)
+    land = with_area(bnd_t).agg(
+        F.round(F.sum("area_m2"), 0).cast("bigint").alias("land_m2"))
+    plan = faces.agg(
+        F.round(F.sum("area_m2"), 0).cast("bigint")
+        .alias("planarized_m2"))
+    return land.crossJoin(plan)
+
+
+def o_qa_planarized_totals():
+    return (f"select cast({QB_AREA} as bigint) as land_m2, "
+            f"cast({QB_AREA} as bigint) as planarized_m2")
+
+
+def q_qa_compare_designation(spark, sf):
+    """qa.sql:8-38 qa_compare: per designation, the dissolved
+    OVERLAPPING area must equal the total area of planarized faces
+    whose designation array contains it. The face side uses the
+    reference's `o.designation && p.designation` as a genuine
+    arrays_overlap JOIN (E7). Oracle = 1-D islands per designation."""
+    from .operators.overlay import dissolve, planarize, with_area
+    tiled, bnd_t = _qa_world(spark, sf)
+    over = with_area(dissolve(
+        tiled.select("cell", "designation", "geom"),
+        ["cell", "designation"]))
+    over_d = over.groupBy("designation").agg(
+        F.round(F.sum("area_m2"), 0).cast("bigint")
+        .alias("overlapping_m2"))
+    faces = planarize(tiled, bnd_t)
+    dim = tiled.select("designation").distinct() \
+        .select(F.col("designation").alias("d"))
+    plan_d = (faces.join(
+        F.broadcast(dim),
+        F.expr("arrays_overlap(designation, array(d))"))
+        .groupBy("d")
+        .agg(F.round(F.sum("area_m2"), 0).cast("bigint")
+             .alias("planarized_m2")))
+    return over_d.join(plan_d,
+                       over_d.designation == plan_d.d).select(
+        "designation", "overlapping_m2", "planarized_m2")
+
+
+def o_qa_compare_designation():
+    return (preamble("duckdb", pages=False, layers=False, bands=True) + f"""
+ , marked as (
+   select designation, band, bx0, bx1,
+          case when bx0 > max(bx1) over (
+                 partition by designation, band order by bx0, bx1
+                 rows between unbounded preceding and 1 preceding)
+               then 1 else 0 end as brk
+   from bands),
+ grp as (select *, sum(brk) over (
+           partition by designation, band order by bx0, bx1
+           rows unbounded preceding) as g from marked),
+ islands as (select designation, band, g, min(bx0) as x0, max(bx1) as x1
+             from grp group by designation, band, g),
+ tot as (select designation,
+                cast(round(sum((x1 - x0) * {BAND_H!r}), 0) as bigint)
+                  as area_m2
+         from islands group by designation)
+ select designation, area_m2 as overlapping_m2, area_m2 as planarized_m2
+ from tot""")
+
+
+def q_qa_class_sums(spark, sf):
+    """qa.sql:190-213: per forest-restriction level, total planarized
+    face area (levels partition the land; uncovered faces are level 0).
+    Oracle = per-segment MAX restriction over covering intervals plus
+    the closed-form uncovered remainder."""
+    from .operators.overlay import planarize
+    tiled, bnd_t = _qa_world(spark, sf)
+    faces = planarize(tiled, bnd_t)
+    return faces.groupBy("forest_restriction_max").agg(
+        F.round(F.sum("area_m2"), 0).cast("bigint").alias("area_m2"))
+
+
+def o_qa_class_sums():
+    # segments within each band strip from interval endpoints + B edges;
+    # covered segments take max(feat_id % 6); everything else in B is
+    # level 0 (strip remainders + inter-strip gaps).
+    return (preamble("duckdb", pages=False, layers=False, bands=True) + f"""
+ , pts as (
+   select distinct band, bx0 as x from bands
+   union select distinct band, bx1 from bands
+   union select distinct band, {QB[0]!r} from bands
+   union select distinct band, {QB[2]!r} from bands),
+ segs as (select band, x as sx0,
+                 lead(x) over (partition by band order by x) as sx1
+          from pts),
+ cov as (select s.band, s.sx0, s.sx1,
+                max(cast(b.feat_id % 6 as int)) as lvl
+         from segs s left join bands b
+           on b.band = s.band and b.bx0 <= s.sx0 and b.bx1 >= s.sx1
+         where s.sx1 is not null
+         group by s.band, s.sx0, s.sx1),
+ strip as (select coalesce(lvl, 0) as lvl,
+                  sum((sx1 - sx0) * {BAND_H!r}) as a
+           from cov group by 1),
+ gaps as (select 0 as lvl,
+                 cast({QB_AREA} as double)
+                   - (select count(distinct band) from bands)
+                     * ({QB[2]!r} - {QB[0]!r}) * {BAND_H!r} as a),
+ allv as (select * from strip union all select * from gaps)
+ select cast(lvl as int) as forest_restriction_max,
+        cast(round(sum(a), 0) as bigint) as area_m2
+ from allv group by lvl""")
+
+
 KERNEL_QUERIES = {
     "overlay_dissolve_area_1d": (q_dissolve_area_1d, o_dissolve_area_1d),
     "overlay_intersect_pairs": (q_intersect_pairs, o_intersect_pairs),
@@ -284,4 +433,9 @@ KERNEL_QUERIES = {
                                       o_planarize_coverage_1d),
     "overlay_planarize_labels_1d": (q_planarize_labels_1d,
                                     o_planarize_labels_1d),
+    "qa_planarized_totals": (q_qa_planarized_totals,
+                             o_qa_planarized_totals),
+    "qa_compare_designation": (q_qa_compare_designation,
+                               o_qa_compare_designation),
+    "qa_class_sums": (q_qa_class_sums, o_qa_class_sums),
 }
