@@ -96,6 +96,39 @@ def boundary_land(spark: SparkSession) -> DataFrame:
         "bc_boundary string, geom binary")
 
 
+def boundary_pieces(spark: SparkSession) -> DataFrame:
+    """RAW inputs for the A9 boundary build (designatedlands.py:624-721
+    analogue): the ragged coast shell as a 'land' piece plus two marine
+    rectangles that claim space FIRST — the composed result's land
+    class has identical coverage to the old fabricated polygon-with-
+    holes (plans.boundary.build_boundary does the composition)."""
+    east = XMIN + 1_400_000.0
+    south = YMIN + 30_000.0
+    north = YMIN + 1_300_000.0
+    west_base = XMIN + 60_000.0
+    pts = [(east, south), (east, north)]
+    n_teeth = 24
+    ys = np.linspace(north, south, n_teeth + 1)
+    for i, y in enumerate(ys):
+        amp = 40_000.0 if i % 2 == 0 else 110_000.0
+        pts.append((west_base + amp, float(y)))
+    pts.append((east, south))
+    shell = np.array(pts, dtype=np.float64)
+    if wkb.ring_area(shell) < 0:
+        shell = shell[::-1]
+    hole1 = _rect_pts(XMIN + 500_000, YMIN + 500_000,
+                      XMIN + 600_000, YMIN + 620_000)
+    hole2 = _rect_pts(XMIN + 900_000, YMIN + 200_000,
+                      XMIN + 1_000_000, YMIN + 260_000)
+    rows = [
+        ("marine", 1, bytearray(wkb.polygon_wkb([hole1]))),
+        ("marine", 1, bytearray(wkb.polygon_wkb([hole2]))),
+        ("land", 2, bytearray(wkb.polygon_wkb([shell]))),
+    ]
+    return spark.createDataFrame(
+        rows, "cls string, process_order int, geom binary")
+
+
 def bands_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same-y-band overlapping intervals per designation: the engine
     dissolves them as real 2-D WKB polygons; the DuckDB oracle computes

@@ -171,13 +171,19 @@ def split_parts(rings: list) -> list[list]:
 # ------------------------------------------------------------ clip
 
 def clip(df_a: DataFrame, df_b: DataFrame, depth: int,
-         geom: str = "geom", grid: float = GRID) -> DataFrame:
+         geom: str = "geom", grid: float = GRID,
+         b_tiled: bool = False) -> DataFrame:
     """A1 clip: intersect A's geometries with the union of B, keeping
     A's attributes (designatedlands.py:82-99). Cell-cogrouped; cells
-    fully covered by B pass A through unchanged (coveredby fastpath)."""
+    fully covered by B pass A through unchanged (coveredby fastpath).
+    `b_tiled=True` accepts a pre-tiled B (cell + geom columns), e.g.
+    the composed bc_boundary output of plans.boundary.build_boundary."""
     a = tile_geoms(df_a, depth, geom, grid).drop("bx0", "by0", "bx1", "by1")
-    b = tile_geoms(df_b.select(geom), depth, geom, grid) \
-        .select("cell", F.col(geom).alias("_bgeom"))
+    if b_tiled:
+        b = df_b.select("cell", F.col(geom).alias("_bgeom"))
+    else:
+        b = tile_geoms(df_b.select(geom), depth, geom, grid) \
+            .select("cell", F.col(geom).alias("_bgeom"))
     out_schema = _schema_of(a)
 
     def do_clip(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame):

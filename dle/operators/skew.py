@@ -58,11 +58,18 @@ def subdivide(df: DataFrame, max_vertices: int = 128,
         ys = np.concatenate([r[:, 1] for r in rings])
         x0, x1 = float(xs.min()), float(xs.max())
         y0, y1 = float(ys.min()), float(ys.max())
+        # Split point snapped to integer meters (when the box allows):
+        # keeps integral-coordinate inputs integral through arbitrary
+        # recursion depth, so downstream kernel snapping is exact.
+        def mid(lo, hi):
+            m = np.rint(0.5 * (lo + hi))
+            return m if lo < m < hi else 0.5 * (lo + hi)
+
         if (x1 - x0) >= (y1 - y0):
-            xm = 0.5 * (x0 + x1)
+            xm = mid(x0, x1)
             halves = [(x0, y0, xm, y1), (xm, y0, x1, y1)]
         else:
-            ym = 0.5 * (y0 + y1)
+            ym = mid(y0, y1)
             halves = [(x0, y0, x1, ym), (x0, ym, x1, y1)]
         out = []
         for bb in halves:

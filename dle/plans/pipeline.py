@@ -39,14 +39,21 @@ def process_vector(spark: SparkSession, sf_dir: str,
                    fused: bool = False,
                    ckpt_root: str | None = None) -> VectorOutputs:
     layers = datagen.layers_poly(spark, sf_dir)
-    boundary = datagen.boundary_land(spark)
-    boundary_t = tile_geoms(boundary, depth).select("cell", "geom")
+    # A9: compose bc_boundary from raw pieces (marine union + subdivide
+    # + tile + precedence insert — designatedlands.py:624-721) instead
+    # of fabricating the finished polygon.
+    from .boundary import build_boundary
+    composed = build_boundary(spark, datagen.boundary_pieces(spark),
+                              depth)
+    boundary_t = composed.where(F.col("cls") == "land") \
+        .select("cell", "geom")
 
     # A4 create_designations_overlapping: clip each layer to land, then
     # dissolve per (registry attrs, cell) — constants stamped from the
     # registry ride along as group keys
     # (/root/reference/sql/create_designations_overlapping.sql:22-67).
-    clipped = clip(layers.select(*REG_KEYS, "geom"), boundary, depth)
+    clipped = clip(layers.select(*REG_KEYS, "geom"), boundary_t, depth,
+                   b_tiled=True)
     overlapping = dissolve(clipped, ["cell"] + REG_KEYS)
 
     # A5/A6 precedence loop in ascending process_order. Layers are

@@ -423,7 +423,63 @@ def o_qa_class_sums():
  from allv group by lvl""")
 
 
+def q_boundary_build_area(spark, sf):
+    """A9 composed boundary build (designatedlands.py:624-721) through
+    the REAL pipeline: tile -> per-cell class dissolve -> subdivide ->
+    precedence insert. Band-world inputs: even feat_ids are 'land'
+    (claims first), odd are 'marine' (gets the remainder). Oracle =
+    two-class 1-D precedence islands per band."""
+    from .plans.boundary import build_boundary
+    b = _bands_wkb(spark, sf)
+    pieces = b.select(
+        F.when(F.col("feat_id") % 2 == 0, "land").otherwise("marine")
+        .alias("cls"),
+        F.when(F.col("feat_id") % 2 == 0, 1).otherwise(2).cast("int")
+        .alias("process_order"),
+        "band", "geom")
+    out = build_boundary(spark, pieces, keys=["band"])
+    return with_area(out).groupBy("band", "cls").agg(
+        F.round(F.sum("area_m2"), 0).cast("bigint").alias("area_m2"))
+
+
+def o_boundary_build_area():
+    def islands(src, name):
+        return f"""
+ marked_{name} as (
+   select band, bx0, bx1,
+          case when bx0 > max(bx1) over (
+                 partition by band order by bx0, bx1
+                 rows between unbounded preceding and 1 preceding)
+               then 1 else 0 end as brk
+   from {src}),
+ grp_{name} as (select *, sum(brk) over (
+           partition by band order by bx0, bx1
+           rows unbounded preceding) as g from marked_{name}),
+ isl_{name} as (select band, g, min(bx0) as x0, max(bx1) as x1
+                from grp_{name} group by band, g),
+ len_{name} as (select band, sum(x1 - x0) as len from isl_{name}
+                group by band)"""
+
+    return (preamble("duckdb", pages=False, layers=False, bands=True) + f"""
+ , cl as (select band, bx0, bx1,
+          case when feat_id % 2 = 0 then 'land' else 'marine' end as cls
+          from bands),
+ lnd as (select band, bx0, bx1 from cl where cls = 'land'),
+ {islands('lnd', 'l')},
+ {islands('cl', 'a')},
+ outp as (
+   select a.band, 'land' as cls, coalesce(l.len, 0.0) as len
+   from len_a a left join len_l l on l.band = a.band
+   union all
+   select a.band, 'marine' as cls, a.len - coalesce(l.len, 0.0) as len
+   from len_a a left join len_l l on l.band = a.band)
+ select band, cls,
+        cast(round(len * {BAND_H!r}, 0) as bigint) as area_m2
+ from outp where len > 0""")
+
+
 KERNEL_QUERIES = {
+    "boundary_build_area": (q_boundary_build_area, o_boundary_build_area),
     "overlay_dissolve_area_1d": (q_dissolve_area_1d, o_dissolve_area_1d),
     "overlay_intersect_pairs": (q_intersect_pairs, o_intersect_pairs),
     "overlay_clip_area": (q_clip_area, o_clip_area),

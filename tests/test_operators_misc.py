@@ -60,6 +60,28 @@ def test_subdivide_conserves_area_and_bounds_vertices(spark):
         subdivide(bnd, max_vertices=3).collect()
 
 
+def test_composed_boundary_matches_fabricated(spark):
+    """A9: build_boundary(pieces)'s land class has identical coverage
+    to the old fabricated polygon-with-holes boundary."""
+    from dle.operators.overlay import tile_geoms, with_area
+    from dle.plans.boundary import build_boundary
+
+    composed = build_boundary(spark, datagen.boundary_pieces(spark),
+                              depth=3)
+    land = composed.where(F.col("cls") == "land")
+    a1 = with_area(land).agg(F.sum("area_m2")).collect()[0][0]
+    old = tile_geoms(datagen.boundary_land(spark), 3)
+    a0 = with_area(old).agg(F.sum("area_m2")).collect()[0][0]
+    assert a1 == pytest.approx(a0, rel=1e-9)
+    # classes are disjoint: land + marine area == union of all pieces
+    tot = with_area(composed).agg(F.sum("area_m2")).collect()[0][0]
+    un = dissolve(tile_geoms(
+        datagen.boundary_pieces(spark), 3).select("cell", "geom"),
+        ["cell"])
+    au = with_area(un).agg(F.sum("area_m2")).collect()[0][0]
+    assert tot == pytest.approx(au, rel=1e-9)
+
+
 def test_spatial_overlay_schema_and_collision(spark):
     a = _band_df(spark).select(
         F.col("feat_id").alias("a_id"), "geom").limit(40)
