@@ -28,6 +28,7 @@ from ..cells import cell_bounds
 from ..config import SLIVER_AREA, SNAP_GRID
 from ..geom import kernel as K
 from ..geom import wkb
+from .. import telemetry
 from .spatial_join import explode_rect_cells
 
 GRID = SNAP_GRID
@@ -94,6 +95,7 @@ def tile_geoms(df: DataFrame, depth: int, geom: str = "geom",
     e = e.drop("_cx", "_cy")
     out_schema = _schema_of(e)
     gcol = geom
+    _acc = telemetry.capture()
 
     def clip_batches(it):
         for pdf in it:
@@ -112,6 +114,7 @@ def tile_geoms(df: DataFrame, depth: int, geom: str = "geom",
                     keep.append(i)
             res = pdf.iloc[keep].copy()
             res[gcol] = outs
+            telemetry.drain(_acc)
             yield res
 
     return e.mapInPandas(clip_batches, out_schema)
@@ -130,9 +133,12 @@ def dissolve(df: DataFrame, keys: list[str], geom: str = "geom",
     schema = f"{cols}, `{geom}` binary" + (
         ", part_i int" if explode_parts else "")
 
+    _acc = telemetry.capture()
+
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
         rings = K.union_all(
             [wkb.parse_rings(bytes(b)) for b in pdf[geom]], grid)
+        telemetry.drain(_acc)
         head = pdf.iloc[:1][keys]
         if not rings:
             empty = head.iloc[0:0].assign(**{geom: []})
@@ -185,6 +191,7 @@ def clip(df_a: DataFrame, df_b: DataFrame, depth: int,
         b = tile_geoms(df_b.select(geom), depth, geom, grid) \
             .select("cell", F.col(geom).alias("_bgeom"))
     out_schema = _schema_of(a)
+    _acc = telemetry.capture()
 
     def do_clip(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame):
         if len(a_pdf) == 0 or len(b_pdf) == 0:
@@ -205,6 +212,7 @@ def clip(df_a: DataFrame, df_b: DataFrame, depth: int,
                 keep.append(i)
         res = a_pdf.iloc[keep].copy()
         res[geom] = outs
+        telemetry.drain(_acc)
         return res
 
     return (a.groupBy("cell")
@@ -231,6 +239,7 @@ def insert_difference(existing: DataFrame | None, src: DataFrame,
         return src
     out_schema = _schema_of(src)
     ex = existing.select("cell", F.col(geom).alias("_egeom"))
+    _acc = telemetry.capture()
 
     def do_diff(key, s_pdf: pd.DataFrame, e_pdf: pd.DataFrame):
         if len(s_pdf) == 0:
@@ -248,6 +257,7 @@ def insert_difference(existing: DataFrame | None, src: DataFrame,
                 keep.append(i)
         res = s_pdf.iloc[keep].copy()
         res[geom] = outs
+        telemetry.drain(_acc)
         return res
 
     return (src.groupBy("cell")
@@ -272,6 +282,7 @@ def insert_difference_fused(src: DataFrame, order_col: str = "process_order",
     one wide stage instead of L barriers."""
     out_schema = _schema_of(src)
     cols = list(src.columns)
+    _acc = telemetry.capture()
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         acc: list = []   # rings of OUTPUT rows so far (loop's `existing`)
@@ -300,6 +311,7 @@ def insert_difference_fused(src: DataFrame, order_col: str = "process_order",
             first = False
         res = pdf.iloc[keep].copy()
         res[geom] = outs
+        telemetry.drain(_acc)
         return res[cols]
 
     return src.groupBy("cell").applyInPandas(fold, out_schema)
@@ -330,6 +342,7 @@ def planarize(designations: DataFrame, boundary: DataFrame,
         "cell", "designation", "src_id", "process_order",
         "forest_restriction", "og_restriction", "mine_restriction", "geom")
     b = boundary.select("cell", F.col("geom").alias("_bgeom"))
+    _acc = telemetry.capture()
 
     def do_planarize(key, d_pdf: pd.DataFrame, b_pdf: pd.DataFrame):
         cols = PLANARIZE_SCHEMA.split(", ")
@@ -370,6 +383,7 @@ def planarize(designations: DataFrame, boundary: DataFrame,
                 "rep_x": f.rep_x,
                 "rep_y": f.rep_y,
             })
+        telemetry.drain(_acc)
         return pd.DataFrame(rows) if rows else empty
 
     return (d.groupBy("cell")

@@ -170,10 +170,17 @@ def qa_rollups(out: VectorOutputs) -> dict:
                          / max(over_d.get(d, 0.0), 1e-9))}
         for d in sorted(set(over_d) | set(plan_d))}
 
+    from .. import telemetry
     return {
         "total_land_ha": total_land,
         "total_planarized_ha": total_plan,
         "per_designation_ha": per_desig,
         "per_class_ha": per_class,
         "qa_compare": qa_compare,
+        # lossy-fallback metric (reference logs NOTICEs per lossy
+        # repair, sql/ST_Safe_Difference.sql:70-80): count of ring
+        # fragments defensively dropped across all executors, if the
+        # caller enabled telemetry before building the pipeline.
+        "lossy_fragments": (telemetry.LOSSY_ACC.value
+                            if telemetry.LOSSY_ACC is not None else None),
     }

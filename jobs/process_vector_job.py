@@ -29,6 +29,9 @@ def main():
     from dle.plans.checkpoint import Manifest, run_stage
     from dle.sources.io import dump
 
+    from dle import telemetry
+    telemetry.enable(spark)  # lossy-fallback counter in qa output
+
     man = Manifest(f"{out_dir}/manifest")
     # ckpt_root => the precedence loop commits each layer to reliable
     # storage (resume-safe on executor loss; no localCheckpoint).
@@ -44,6 +47,7 @@ def main():
         "total_land_ha": qa["total_land_ha"],
         "total_planarized_ha": qa["total_planarized_ha"],
         "n_faces": planar.count(),
+        "lossy_fragments": qa["lossy_fragments"],
     }
     with open(f"{out_dir}/qa.json", "w") as f:
         json.dump(qa_flat, f, indent=2)
