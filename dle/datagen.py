@@ -52,10 +52,11 @@ _wkb_udf = F.pandas_udf(
     BinaryType())
 
 
-def layers_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def layers_poly(spark: SparkSession, sf_dir: str,
+                n_orders: int = 8) -> DataFrame:
     """Designation features as WKB polygons + registry columns."""
     sqlgen.register_tables(spark, sf_dir)
-    pre = sqlgen.preamble("spark", pages=False)
+    pre = sqlgen.preamble("spark", pages=False, n_orders=n_orders)
     df = spark.sql(pre + """
  select l.feat_id, l.process_order, l.designation, l.src_id, l.src_name,
         l.x0, l.y0, l.x1, l.y1,

@@ -37,8 +37,9 @@ class VectorOutputs:
 def process_vector(spark: SparkSession, sf_dir: str,
                    depth: int = DEFAULT_DEPTH,
                    fused: bool = False,
-                   ckpt_root: str | None = None) -> VectorOutputs:
-    layers = datagen.layers_poly(spark, sf_dir)
+                   ckpt_root: str | None = None,
+                   n_orders: int = 8) -> VectorOutputs:
+    layers = datagen.layers_poly(spark, sf_dir, n_orders=n_orders)
     # A9: compose bc_boundary from raw pieces (marine union + subdivide
     # + tile + precedence insert — designatedlands.py:624-721) instead
     # of fabricating the finished polygon.

@@ -98,9 +98,12 @@ points as (
 )"""
 
 
-def layers_ctes(dialect: str) -> str:
+def layers_ctes(dialect: str, n_orders: int = 8) -> str:
     """CTEs ending in ``layers``: rectangular designation features with
-    registry constants (process_order, designation, restrictions)."""
+    registry constants (process_order, designation, restrictions).
+    `n_orders` = number of distinct process orders (default 8 for the
+    oracle-checked fixtures; 42 reproduces the reference's registry
+    scale, sources_designations.csv)."""
     return f"""
 _l0 as (
   select doc_id as feat_id,
@@ -113,7 +116,7 @@ _l3 as (select *, (r3 * 48271 + 29) % {M31} as r4 from _l2),
 _l4 as (select *, (r4 * 48271 + 31) % {M31} as r5 from _l3),
 _l5 as (
   select feat_id, r1, r2, r3, r4, r5,
-         cast(feat_id % 8 as int) + 1 as process_order,
+         cast(feat_id % {n_orders} as int) + 1 as process_order,
          case when feat_id % 5 = 0
               then cast({XMIN!r} as double) + 250000 + (r1 % 150000) + 0.5
               else cast({XMIN!r} as double) + (r1 % {WIDTH_I - 50000}) + 0.5 end as x0,
@@ -169,12 +172,12 @@ bands as (
 
 
 def preamble(dialect: str, *, pages: bool = True, layers: bool = True,
-             bands: bool = False) -> str:
+             bands: bool = False, n_orders: int = 8) -> str:
     parts = []
     if pages:
         parts.append(pages_ctes(dialect))
     if layers:
-        parts.append(layers_ctes(dialect))
+        parts.append(layers_ctes(dialect, n_orders))
     if bands:
         parts.append(bands_ctes(dialect))
     return "with " + ",".join(parts)
