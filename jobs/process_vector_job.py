@@ -13,8 +13,12 @@ from __future__ import annotations
 
 import json
 import sys
+from pathlib import Path
 
-from pyspark.sql import SparkSession
+# local runs without --py-files: repo root on path
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import SparkSession  # noqa: E402
 
 
 def main():
