@@ -511,6 +511,57 @@ def o_ann_lsh_topk():
  from ranked where rank <= {ANN_K}"""
 
 
+# -------------------------------------------------------- multimodal
+
+def q_multimodal_pipeline_stats(spark, sf):
+    """Multimodal plumbing through the gate (round brief: binary media
+    columns + typed metadata): synth_media -> extract_features (Arrow
+    batch, byte-accurate n_bytes through the real mapInPandas path) ->
+    frame_sample explode. Decode itself stays the documented stub; the
+    oracle checks the schema/batch/sampling arithmetic exactly."""
+    from .operators.multimodal import (
+        extract_features, frame_sample, synth_media,
+    )
+    media = synth_media(spark, sf)
+    feat = extract_features(media)
+    byk = feat.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_bytes").alias("total_bytes"))
+    fr = frame_sample(media, every_k=10).groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_sampled_frames"))
+    out = byk.join(fr, "kind", "left")
+    return out.select(
+        "kind", "n_rows", "total_bytes",
+        F.coalesce("n_sampled_frames", F.lit(0)).alias(
+            "n_sampled_frames"))
+
+
+def o_multimodal_pipeline_stats():
+    # header = b"\x89" (2 utf-8 bytes) + KIND (5) + b"\r\n" (2) = 9
+    return """
+ with m as (
+   select doc_id, 'image' as kind,
+          9 + octet_length(encode(text)) as n_bytes,
+          1 as n_frames
+   from documents
+   union all
+   select doc_id, 'audio',
+          9 + octet_length(encode(text)),
+          1 + cast(doc_id % 120 as int)
+   from documents),
+ byk as (select kind, cast(count(*) as bigint) as n_rows,
+                cast(sum(n_bytes) as bigint) as total_bytes
+         from m group by kind),
+ fr as (select kind,
+               sum(cast(floor((n_frames - 1) / 10.0) as bigint) + 1)
+                 as n_sampled_frames
+        from m where kind <> 'image' group by kind)
+ select b.kind, b.n_rows, b.total_bytes,
+        cast(coalesce(fr.n_sampled_frames, 0) as bigint)
+          as n_sampled_frames
+ from byk b left join fr on fr.kind = b.kind"""
+
+
 # ----------------------------------------------------------- events
 
 _EPOCH_US = ("cast(unix_timestamp(ts) as bigint) * 1000000"
@@ -625,6 +676,8 @@ TEXT_QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
     "ann_lsh_buckets": (q_ann_lsh_buckets, o_ann_lsh_buckets),
     "ann_lsh_topk": (q_ann_lsh_topk, o_ann_lsh_topk),
+    "multimodal_pipeline_stats": (q_multimodal_pipeline_stats,
+                                  o_multimodal_pipeline_stats),
     "events_window_stats": (q_events_window_stats, o_events_window_stats),
     "events_sessions": (q_events_sessions, o_events_sessions),
     "asof_click_purchase": (q_asof_click_purchase, o_asof_click_purchase),
