@@ -116,9 +116,17 @@ def _edges(tagged: list[tuple[int, list]], grid: float):
 
 
 def _crossing_xs(x0, y0, x1, y1) -> np.ndarray:
-    """x-coords of proper pairwise crossings (chunked O(E^2) numpy)."""
+    """x-coords of proper pairwise crossings (chunked O(E^2) numpy).
+
+    Fast path: a proper crossing needs two NON-parallel edges, so a
+    single-slope edge set (e.g. any rectilinear input — only
+    horizontal edges survive the vertical cull) has none. This skips
+    the quadratic scan entirely for axis-aligned workloads."""
     e = len(x0)
     if e < 2:
+        return np.zeros(0)
+    slopes = (y1 - y0) / (x1 - x0)
+    if slopes.min() == slopes.max():
         return np.zeros(0)
     out = []
     step = max(1, min(e, 2_000_000 // max(e, 1)))

@@ -147,6 +147,119 @@ def o_dedup_simhash():
  from hs group by doc_id"""
 
 
+def q_dedup_ngram_jaccard(spark, sf):
+    """n-gram Jaccard near-dup verification (round brief): candidate
+    pairs from the MinHash LSH bands, then EXACT word-3-gram Jaccard
+    per pair via a shingle equi-join. Counts stay exact integers
+    (n_inter, n_union) so the gate is float-free.
+
+    Scale note: candidate volume = LSH bucket sizes. Unigram-token
+    minhash (used here so the fixture yields a non-trivial pair set to
+    gate the join on) buckets coarsely on same-language text; the
+    production setting minhashes the SHINGLES themselves (swap `hs` to
+    the shingle array below — one line), which shrinks buckets to true
+    near-dup groups. Either way the pair join is equi-join-bounded,
+    never O(n^2)."""
+    register_tables(spark, sf)
+    hs = ("transform(split(text, ' '), t -> cast(conv(substring(md5(t),"
+          f" 1, 15), 16, 10) as bigint) % {M31})")
+    doc = spark.table("documents").select(
+        "doc_id", F.expr(hs).alias("hs"))
+    mins = [F.expr(f"aggregate(hs, cast({M31} as bigint), (acc, h) -> "
+                   f"least(acc, (h * {MINHASH_A[p]}L + {MINHASH_B[p]}L)"
+                   f" % {M31}))").alias(f"mh{p}")
+            for p in range(8)]
+    mh = doc.select("doc_id", *mins)
+    entries = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("_", f"mh{2 * b}", f"mh{2 * b + 1}")
+                 .alias("bucket"))
+        for b in range(4)])
+    band = (mh.select("doc_id", F.explode(entries).alias("e"))
+              .select("doc_id", "e.band", "e.bucket"))
+    pairs = (band.alias("a").join(
+        band.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b")).distinct())
+
+    sh = ("array_distinct(transform(sequence(0, size(split(text, ' '))"
+          " - 3), i -> concat_ws(' ', split(text, ' ')[i],"
+          " split(text, ' ')[i + 1], split(text, ' ')[i + 2])))")
+    shingles = (spark.table("documents")
+                .where(F.expr("size(split(text, ' ')) >= 3"))
+                .select("doc_id", F.explode(F.expr(sh)).alias("sh")))
+    counts = shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"))
+
+    inter = (pairs
+             .join(shingles.select(F.col("doc_id").alias("doc_a"),
+                                   "sh"), "doc_a")
+             .join(shingles.select(F.col("doc_id").alias("doc_b"),
+                                   "sh"), ["doc_b", "sh"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    out = (pairs
+           .join(counts.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n_sh").alias("na")), "doc_a")
+           .join(counts.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n_sh").alias("nb")), "doc_b")
+           .join(inter, ["doc_a", "doc_b"], "left"))
+    return out.select(
+        "doc_a", "doc_b",
+        F.coalesce("n_inter", F.lit(0)).cast("bigint").alias("n_inter"),
+        (F.col("na") + F.col("nb")
+         - F.coalesce("n_inter", F.lit(0))).cast("bigint")
+        .alias("n_union"))
+
+
+def o_dedup_ngram_jaccard():
+    h = hex2int("t.tok", "duckdb")
+    mins = ", ".join(
+        f"min((h0 * {MINHASH_A[p]} + {MINHASH_B[p]}) % {M31}) as mh{p}"
+        for p in range(8))
+    bands = " union all ".join(
+        f"select doc_id, {b} as band, concat(cast(mh{2 * b} as string),"
+        f" '_', cast(mh{2 * b + 1} as string)) as bucket from mh"
+        for b in range(4))
+    return f"""
+ with tok as (
+   select doc_id, unnest(string_split(text, ' ')) as tok from documents),
+ hs as (select t.doc_id, ({h}) % {M31} as h0 from tok t),
+ mh as (select doc_id, {mins} from hs group by doc_id),
+ band as ({bands}),
+ pairs as (
+   select distinct a.doc_id as doc_a, b.doc_id as doc_b
+   from band a join band b
+     on a.band = b.band and a.bucket = b.bucket
+    and a.doc_id < b.doc_id),
+ toks as (select doc_id, string_split(text, ' ') as ts from documents
+          where len(string_split(text, ' ')) >= 3),
+ sh as (
+   select distinct doc_id,
+          concat_ws(' ', ts[i], ts[i + 1], ts[i + 2]) as sh
+   from toks, lateral (
+     select unnest(generate_series(1, len(ts) - 2)) as i)),
+ cnt as (select doc_id, cast(count(*) as bigint) as n_sh
+         from sh group by doc_id),
+ inter as (
+   select p.doc_a, p.doc_b, cast(count(*) as bigint) as n_inter
+   from pairs p
+   join sh a on a.doc_id = p.doc_a
+   join sh b on b.doc_id = p.doc_b and b.sh = a.sh
+   group by p.doc_a, p.doc_b)
+ select p.doc_a, p.doc_b,
+        cast(coalesce(i.n_inter, 0) as bigint) as n_inter,
+        cast(ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0) as bigint)
+          as n_union
+ from pairs p
+ join cnt ca on ca.doc_id = p.doc_a
+ join cnt cb on cb.doc_id = p.doc_b
+ left join inter i on i.doc_a = p.doc_a and i.doc_b = p.doc_b"""
+
+
 def q_text_fingerprint(spark, sf):
     """n-gram/rolling-hash style doc fingerprint: min token hash +
     distinct token count."""
@@ -511,6 +624,89 @@ def o_ann_lsh_topk():
  from ranked where rank <= {ANN_K}"""
 
 
+def q_dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup (round brief): corpus-vs-corpus pairs
+    whose LSH band signatures collide, kept when cosine >= 0.25.
+    Scale shape: the self-join is an equi-join on (band, sig) —
+    collision-bounded, never O(n^2); cosine only computes for
+    candidates."""
+    register_tables(spark, sf)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("v"))
+
+    def sig_col(planes):
+        bits = None
+        for j, hp in enumerate(planes):
+            lit = "array(" + ", ".join(repr(x) for x in hp) + ")"
+            dot = (f"aggregate(zip_with(v, {lit}, (x, y) -> x * y), 0D,"
+                   " (acc, x) -> acc + x)")
+            b = F.when(F.expr(dot) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            bits = b if bits is None else bits + b
+        return bits
+
+    sigs = emb.select(
+        "vec_id", "v",
+        *[sig_col(p).alias(f"s{b}")
+          for b, p in enumerate(_band_planes())])
+    bandrows = sigs.select("vec_id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"s{b}").alias("sig"))
+        for b in range(ANN_BANDS)])).alias("e")) \
+        .select("vec_id", "e.band", "e.sig")
+    pairs = (bandrows.alias("a").join(
+        bandrows.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b")).distinct())
+    qv = sigs.select(F.col("vec_id").alias("vec_a"),
+                     F.col("v").alias("q"))
+    cv = sigs.select(F.col("vec_id").alias("vec_b"), "v")
+    scored = (pairs.join(qv, "vec_a").join(cv, "vec_b")
+              .select("vec_a", "vec_b",
+                      F.expr(f"({_DOT}) / (sqrt({_NQ}) * sqrt({_NV}))")
+                      .alias("cos")))
+    return (scored.where(F.col("cos") >= 0.25)
+            .select("vec_a", "vec_b",
+                    F.round("cos", 6).alias("cos_r")))
+
+
+def o_dedup_embedding_cosine():
+    def sig_sql(planes):
+        terms = []
+        for j, hp in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in hp) + "]"
+            terms.append(f"(case when list_dot_product(v, {lit}) > 0 "
+                         f"then {1 << j} else 0 end)")
+        return " + ".join(terms)
+
+    sig_cols = ", ".join(
+        f"cast({sig_sql(p)} as int) as s{b}"
+        for b, p in enumerate(_band_planes()))
+    bands = " union all ".join(
+        f"select vec_id, {b} as band, s{b} as sig from sig"
+        for b in range(ANN_BANDS))
+    return f"""
+ with emb as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+ sig as (select vec_id, v, {sig_cols} from emb),
+ band as ({bands}),
+ pairs as (
+   select distinct a.vec_id as vec_a, b.vec_id as vec_b
+   from band a join band b
+     on a.band = b.band and a.sig = b.sig and a.vec_id < b.vec_id),
+ scored as (
+   select p.vec_a, p.vec_b,
+          list_dot_product(qa.v, qb.v)
+            / (sqrt(list_dot_product(qa.v, qa.v))
+               * sqrt(list_dot_product(qb.v, qb.v))) as cos
+   from pairs p
+   join emb qa on qa.vec_id = p.vec_a
+   join emb qb on qb.vec_id = p.vec_b)
+ select vec_a, vec_b, round(cos, 6) as cos_r
+ from scored where cos >= 0.25"""
+
+
 # -------------------------------------------------------- multimodal
 
 def q_multimodal_pipeline_stats(spark, sf):
@@ -670,6 +866,9 @@ TEXT_QUERIES = {
     "dedup_minhash_buckets": (q_dedup_minhash_buckets,
                               o_dedup_minhash_buckets),
     "dedup_simhash": (q_dedup_simhash, o_dedup_simhash),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, o_dedup_ngram_jaccard),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine,
+                               o_dedup_embedding_cosine),
     "text_fingerprint": (q_text_fingerprint, o_text_fingerprint),
     "text_stats": (q_text_stats, o_text_stats),
     "text_langid": (q_text_langid, o_text_langid),
