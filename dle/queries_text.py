@@ -504,50 +504,52 @@ _NV = ("aggregate(zip_with(v, v, (x, y) -> x * y), 0D,"
        " (acc, x) -> acc + x)")
 
 
+def _band_sig_rows(spark, emb):
+    """(vec_id, band, sig) band signatures via a BROADCAST hyperplane
+    join: 32 (band, bit, plane) rows join every vector, dot = the same
+    sequential zip_with/aggregate fold the oracle uses, then one
+    map-side-combinable groupBy assembles the bits. Keeping the planes
+    as DATA (not 40 KB literal expression trees) keeps Catalyst
+    analysis O(1) in plane count — the literal form cost ~4 s of
+    driver-side analysis per invocation."""
+    rows = [(b, j, p)
+            for b, planes in enumerate(_band_planes())
+            for j, p in enumerate(planes)]
+    hp = F.broadcast(spark.createDataFrame(
+        rows, "band int, j int, hp array<double>"))
+    dot = ("aggregate(zip_with(v, hp, (x, y) -> x * y), 0D,"
+           " (acc, x) -> acc + x)")
+    d = emb.crossJoin(hp).select(
+        "vec_id", "band", "j", F.expr(dot).alias("dot"))
+    return d.groupBy("vec_id", "band").agg(
+        F.sum(F.expr("if(dot > 0, shiftleft(1, j), 0)"))
+        .cast("int").alias("sig"))
+
+
 def q_ann_lsh_topk(spark, sf):
     """End-to-end bucketed ANN: band signatures -> band equi-join
     candidates -> within-candidate cosine top-k -> brute-force fallback
     for queries with too few candidates.
 
-    Scale shape (10^12 corpus): signatures compute in the scan stage
-    (array aggregates, zero Python); the candidate join is an equi-join
-    on (band, sig) — shuffle bounded by bucket collision volume, never
-    the full cross product; only under-filled queries pay the brute
-    path. Oracle = the identical algorithm in DuckDB SQL, so the gate
-    verifies candidate generation, fallback trigger, and ranking
-    exactly."""
+    Scale shape (10^12 corpus): signatures compute via a broadcast
+    plane join + one partial-aggregated groupBy (zero Python); the
+    candidate join is an equi-join on (band, sig) — shuffle bounded by
+    bucket collision volume, never the full cross product; only
+    under-filled queries pay the brute path. Oracle = the identical
+    algorithm in DuckDB SQL, so the gate verifies candidate
+    generation, fallback trigger, and ranking exactly."""
     register_tables(spark, sf)
     emb = spark.table("embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))")
         .alias("v"))
+    sig = _band_sig_rows(spark, emb)
+    qs = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
+    cs = emb.where("vec_id >= 5")
 
-    def sig_col(planes):
-        bits = None
-        for j, hp in enumerate(planes):
-            lit = "array(" + ", ".join(repr(x) for x in hp) + ")"
-            dot = (f"aggregate(zip_with(v, {lit}, (x, y) -> x * y), 0D,"
-                   " (acc, x) -> acc + x)")
-            b = F.when(F.expr(dot) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            bits = b if bits is None else bits + b
-        return bits
-
-    sigs = emb.select(
-        "vec_id", "v",
-        *[sig_col(p).alias(f"s{b}")
-          for b, p in enumerate(_band_planes())])
-    qs = sigs.where("vec_id < 5").select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q"),
-        *[F.col(f"s{b}").alias(f"qs{b}") for b in range(ANN_BANDS)])
-    cs = sigs.where("vec_id >= 5")
-
-    qb = qs.select("query_id", F.explode(F.array(*[
-        F.struct(F.lit(b).alias("band"), F.col(f"qs{b}").alias("sig"))
-        for b in range(ANN_BANDS)])).alias("e")) \
-        .select("query_id", "e.band", "e.sig")
-    cb = cs.select("vec_id", F.explode(F.array(*[
-        F.struct(F.lit(b).alias("band"), F.col(f"s{b}").alias("sig"))
-        for b in range(ANN_BANDS)])).alias("e")) \
-        .select("vec_id", "e.band", "e.sig")
+    qb = sig.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "band", "sig")
+    cb = sig.where("vec_id >= 5")
     cand = (F.broadcast(qb).join(cb, ["band", "sig"])
             .select("query_id", "vec_id").distinct())
 
@@ -561,7 +563,7 @@ def q_ann_lsh_topk(spark, sf):
     pairs = pairs_lsh.unionByName(pairs_brute)
 
     scored = (pairs
-              .join(F.broadcast(qs.select("query_id", "q")), "query_id")
+              .join(F.broadcast(qs), "query_id")
               .join(cs.select("vec_id", "v"), "vec_id")
               .select("query_id", "vec_id",
                       F.expr(f"({_DOT}) / (sqrt({_NQ}) * sqrt({_NV}))")
@@ -634,25 +636,7 @@ def q_dedup_embedding_cosine(spark, sf):
     emb = spark.table("embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))")
         .alias("v"))
-
-    def sig_col(planes):
-        bits = None
-        for j, hp in enumerate(planes):
-            lit = "array(" + ", ".join(repr(x) for x in hp) + ")"
-            dot = (f"aggregate(zip_with(v, {lit}, (x, y) -> x * y), 0D,"
-                   " (acc, x) -> acc + x)")
-            b = F.when(F.expr(dot) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            bits = b if bits is None else bits + b
-        return bits
-
-    sigs = emb.select(
-        "vec_id", "v",
-        *[sig_col(p).alias(f"s{b}")
-          for b, p in enumerate(_band_planes())])
-    bandrows = sigs.select("vec_id", F.explode(F.array(*[
-        F.struct(F.lit(b).alias("band"), F.col(f"s{b}").alias("sig"))
-        for b in range(ANN_BANDS)])).alias("e")) \
-        .select("vec_id", "e.band", "e.sig")
+    bandrows = _band_sig_rows(spark, emb)
     pairs = (bandrows.alias("a").join(
         bandrows.alias("b"),
         (F.col("a.band") == F.col("b.band"))
@@ -660,9 +644,9 @@ def q_dedup_embedding_cosine(spark, sf):
         & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b")).distinct())
-    qv = sigs.select(F.col("vec_id").alias("vec_a"),
-                     F.col("v").alias("q"))
-    cv = sigs.select(F.col("vec_id").alias("vec_b"), "v")
+    qv = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("v").alias("q"))
+    cv = emb.select(F.col("vec_id").alias("vec_b"), "v")
     scored = (pairs.join(qv, "vec_a").join(cv, "vec_b")
               .select("vec_a", "vec_b",
                       F.expr(f"({_DOT}) / (sqrt({_NQ}) * sqrt({_NV}))")
