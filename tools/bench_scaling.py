@@ -190,6 +190,11 @@ def main():
                           "sf": sf_dir}))
     md = REPO / "BENCH" / "BASELINE.md"
     md.parent.mkdir(exist_ok=True)
+    # preserve sections other tools append (e.g. 42-layer parity)
+    keep = ""
+    marker = "## 42-layer registry parity"
+    if md.exists() and marker in md.read_text():
+        keep = "\n" + marker + md.read_text().split(marker, 1)[1]
     sections = []
     for n, n4, amp, eff, lo, hi in results:
         sections.append(
@@ -229,7 +234,7 @@ processes (config_2020-10-08.cfg:18). This engine's cluster story is
 the same plan shapes scaled by executor count: cell-partitioned
 shuffles, broadcast dimension layers, AQE skew splitting, salted
 dissolves for hot cells.
-""")
+""" + keep)
     print(f"wrote {md}")
 
 
