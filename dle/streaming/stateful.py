@@ -1,0 +1,101 @@
+"""Structured Streaming: watermarked windowed aggregation + custom
+stateful sessionization (round brief: "watermarks + windowed aggs for
+late data; applyInPandasWithState for custom stateful operators").
+
+Both wrappers run with trigger(availableNow=True) so tests drain a
+bounded directory deterministically; on a live stream the same code
+runs continuously. Results are proven against the engine's BATCH
+twins (events_window_stats / events_sessions) in tests — the streaming
+and batch paths must agree on bounded input.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import (
+    GroupState, GroupStateTimeout,
+)
+
+EVENTS_SCHEMA = ("event_id bigint, user_id bigint, event_type string, "
+                 "value double, ts timestamp")
+
+
+def stream_windowed_stats(spark: SparkSession, src_dir: str,
+                          checkpoint_dir: str,
+                          watermark: str = "1 hour"):
+    """Tumbling 1-hour window count/sum per event type with a late-data
+    watermark; complete rows land in an in-memory table per drain.
+    Returns the collected rows (window_start, event_type, n,
+    sum_value_c)."""
+    ev = (spark.readStream.format("parquet").schema(EVENTS_SCHEMA)
+          .load(src_dir)
+          .withWatermark("ts", watermark))
+    agg = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+                .alias("sum_value_c"))
+           .select(F.col("w.start").alias("window_start"),
+                   "event_type", "n", "sum_value_c"))
+    name = "dle_win_" + checkpoint_dir.replace("/", "_")[-32:] \
+        .replace("-", "_").replace(".", "_")
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).collect()
+
+
+def stream_sessions(spark: SparkSession, src_dir: str,
+                    checkpoint_dir: str, gap_s: int = 1800):
+    """Gap-based sessionization as a CUSTOM STATEFUL operator:
+    applyInPandasWithState keyed by user, state = (last event second,
+    open session count). Emits one row per user per micro-batch with
+    the running session count — on bounded input (one availableNow
+    drain, one batch) the final counts equal the batch
+    events_sessions query."""
+
+    def fn(key, pdfs, state: GroupState):
+        secs = []
+        for pdf in pdfs:
+            secs.extend((pdf["ts"].astype("int64") // 10**9).tolist())
+        secs.sort()
+        if state.exists:
+            last, n = state.get
+        else:
+            last, n = None, 0
+        for s in secs:
+            if last is None or s - last > gap_s:
+                n += 1
+            last = s
+        state.update((last, n))
+        yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n]})
+
+    ev = (spark.readStream.format("parquet").schema(EVENTS_SCHEMA)
+          .load(src_dir).select("user_id", "ts"))
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id bigint, n_sessions bigint",
+        stateStructType="last bigint, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    # foreachBatch sink: unlike the memory sink it supports RESUMING
+    # from an existing checkpoint, which is the whole point of the
+    # stateful operator (state + source offsets survive restarts)
+    rows: list = []
+
+    def sink(df, epoch_id):
+        rows.extend(df.collect())
+
+    q = (out.writeStream.outputMode("update")
+         .foreachBatch(sink)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # last emitted row per user wins (update mode)
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = r["n_sessions"]
+    return final

@@ -1,0 +1,65 @@
+"""Streaming twins must agree with the batch engine on bounded input:
+watermarked tumbling-window aggregation vs events_window_stats, and
+applyInPandasWithState sessionization vs events_sessions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dle import queries as q
+from dle.sqlgen import register_tables
+from dle.streaming.stateful import stream_sessions, stream_windowed_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_dir(spark, tmp_path):
+    register_tables(spark, SF)
+    src = str(tmp_path / "events_src")
+    spark.table("events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    ).write.parquet(src)
+    return src
+
+
+def test_stream_windowed_stats_matches_batch(spark, tmp_path):
+    src = _events_dir(spark, tmp_path)
+    rows = stream_windowed_stats(spark, src, str(tmp_path / "ck1"))
+    got = {(int(r["window_start"].timestamp()) // 3600, r["event_type"]):
+           (r["n"], r["sum_value_c"]) for r in rows}
+    batch = q.queries()["events_window_stats"](spark, SF).collect()
+    want = {(r["window_id"], r["event_type"]):
+            (r["n"], int(round(r["sum_value"] * 100)))
+            for r in batch}
+    assert got == want
+
+
+def test_stream_sessions_matches_batch(spark, tmp_path):
+    src = _events_dir(spark, tmp_path)
+    got = stream_sessions(spark, src, str(tmp_path / "ck2"))
+    batch = q.queries()["events_sessions"](spark, SF).collect()
+    want = {r["user_id"]: r["n_sessions"] for r in batch}
+    assert got == want
+
+
+def test_stream_sessions_resume_incremental(spark, tmp_path):
+    """State survives across drains: feeding the same directory again
+    adds no sessions; feeding NEW later events extends counts."""
+    src = _events_dir(spark, tmp_path)
+    ck = str(tmp_path / "ck3")
+    first = stream_sessions(spark, src, ck)
+    # new events far in the future for 3 users -> +1 session each
+    register_tables(spark, SF)
+    some = [r["user_id"] for r in
+            spark.table("events").select("user_id").distinct()
+            .orderBy("user_id").limit(3).collect()]
+    new = spark.createDataFrame(
+        [(10**6 + i, u, "click", 1.0) for i, u in enumerate(some)],
+        "event_id bigint, user_id bigint, event_type string,"
+        " value double").withColumn(
+        "ts", F.lit("2031-01-01 00:00:00").cast("timestamp"))
+    new.select("event_id", "user_id", "event_type", "value",
+               "ts").write.mode("append").parquet(src)
+    second = stream_sessions(spark, src, ck)
+    for u in some:
+        assert second[u] == first[u] + 1, u
