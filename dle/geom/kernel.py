@@ -434,6 +434,26 @@ def clip_bbox(rings: list, bx0: float, by0: float, bx1: float,
     return out
 
 
+def as_rect(rings: list):
+    """(x0, y0, x1, y1) if the ring list is exactly one axis-aligned
+    rectangle (4 rectilinear edges), else None. Fastpath detector for
+    rect-rect intersection (the reference's coveredby-style CASE
+    shortcuts, sql/intersect.sql:28-56)."""
+    if len(rings) != 1:
+        return None
+    r = rings[0]
+    if len(r) != 5 or not (r[0] == r[-1]).all():
+        return None
+    d = np.diff(r, axis=0)
+    if not ((d[:, 0] == 0) | (d[:, 1] == 0)).all():
+        return None  # diagonal edge (e.g. bowtie)
+    x0, y0 = r[:, 0].min(), r[:, 1].min()
+    x1, y1 = r[:, 0].max(), r[:, 1].max()
+    if x1 <= x0 or y1 <= y0:
+        return None
+    return float(x0), float(y0), float(x1), float(y1)
+
+
 def covered_by_bbox(rings: list, bx0, by0, bx1, by1) -> bool:
     """Cheap ST_CoveredBy fastpath vs a rectangle (tile.sql:43-47)."""
     for r in rings:

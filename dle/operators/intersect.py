@@ -58,6 +58,7 @@ def spatial_overlay(df_a: DataFrame, df_b: DataFrame,
         if len(a_pdf) == 0 or len(b_pdf) == 0:
             return empty
         b_rings = [wkb.parse_rings(bytes(g)) for g in b_pdf["_geom_b"]]
+        b_rect = [K.as_rect(rs) for rs in b_rings]
         b_bb = np.array([[min(r[:, 0].min() for r in rs),
                           min(r[:, 1].min() for r in rs),
                           max(r[:, 0].max() for r in rs),
@@ -66,6 +67,7 @@ def spatial_overlay(df_a: DataFrame, df_b: DataFrame,
         rows = []
         for i in range(len(a_pdf)):
             a_rings = wkb.parse_rings(bytes(a_pdf[geom].iloc[i]))
+            a_rect = K.as_rect(a_rings)
             ax0 = min(r[:, 0].min() for r in a_rings)
             ay0 = min(r[:, 1].min() for r in a_rings)
             ax1 = max(r[:, 0].max() for r in a_rings)
@@ -73,9 +75,26 @@ def spatial_overlay(df_a: DataFrame, df_b: DataFrame,
             hit = ((b_bb[:, 0] < ax1) & (b_bb[:, 2] > ax0)
                    & (b_bb[:, 1] < ay1) & (b_bb[:, 3] > ay0))
             for j in np.flatnonzero(hit):
-                inter = K.intersection(a_rings, b_rings[j], grid)
-                if not inter or K.area(inter) <= 0:
-                    continue  # ST_IsEmpty purge
+                if a_rect is not None and b_rect[j] is not None:
+                    # rect-rect fastpath (reference's CASE shortcuts,
+                    # sql/intersect.sql:28-56): clip = bbox overlap
+                    ix0 = max(a_rect[0], b_rect[j][0])
+                    iy0 = max(a_rect[1], b_rect[j][1])
+                    ix1 = min(a_rect[2], b_rect[j][2])
+                    iy1 = min(a_rect[3], b_rect[j][3])
+                    if ix1 <= ix0 or iy1 <= iy0:
+                        continue
+                    # same grid snap the kernel would apply
+                    ix0, iy0, ix1, iy1 = (
+                        round(v / grid) * grid
+                        for v in (ix0, iy0, ix1, iy1))
+                    if ix1 <= ix0 or iy1 <= iy0:
+                        continue
+                    inter = K.rect_rings(ix0, iy0, ix1, iy1)
+                else:
+                    inter = K.intersection(a_rings, b_rings[j], grid)
+                    if not inter or K.area(inter) <= 0:
+                        continue  # ST_IsEmpty purge
                 r = {c: a_pdf[c].iloc[i] for c in a_cols}
                 r.update({c: b_pdf[c].iloc[j] for c in b_cols})
                 r["cell"] = key[0]
