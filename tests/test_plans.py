@@ -82,6 +82,17 @@ def test_tile_geoms_has_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_ann_lsh_topk_plan_shape(spark):
+    """Bucketed ANN: candidate generation must be broadcast equi-joins
+    (query side tiny), never a cartesian product of the corpus."""
+    plan = _plan(q.queries()["ann_lsh_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the only nested-loop join allowed is the 32-row plane broadcast
+    # and the <=5-query brute fallback cross join
+    assert "EvalPython" not in plan
+
+
 def test_dissolve_shuffles_once_by_keys(spark):
     from dle import datagen
     from dle.operators.overlay import dissolve
