@@ -64,7 +64,7 @@ def spatial_overlay(df_a: DataFrame, df_b: DataFrame,
                           max(r[:, 0].max() for r in rs),
                           max(r[:, 1].max() for r in rs)]
                          for rs in b_rings])
-        rows = []
+        ii, jj, geoms = [], [], []
         for i in range(len(a_pdf)):
             a_rings = wkb.parse_rings(bytes(a_pdf[geom].iloc[i]))
             a_rect = K.as_rect(a_rings)
@@ -95,12 +95,19 @@ def spatial_overlay(df_a: DataFrame, df_b: DataFrame,
                     inter = K.intersection(a_rings, b_rings[j], grid)
                     if not inter or K.area(inter) <= 0:
                         continue  # ST_IsEmpty purge
-                r = {c: a_pdf[c].iloc[i] for c in a_cols}
-                r.update({c: b_pdf[c].iloc[j] for c in b_cols})
-                r["cell"] = key[0]
-                r[geom] = wkb.rings_wkb(inter)
-                rows.append(r)
-        return pd.DataFrame(rows, columns=cols) if rows else empty
+                ii.append(i)
+                jj.append(int(j))
+                geoms.append(wkb.rings_wkb(inter))
+        if not ii:
+            return empty
+        # vectorized assembly: batch iloc + concat instead of per-row
+        # dicts (the hot loop of the generic overlay)
+        res_a = a_pdf.iloc[ii][a_cols].reset_index(drop=True)
+        res_b = b_pdf.iloc[jj][b_cols].reset_index(drop=True)
+        res = pd.concat([res_a, res_b], axis=1)
+        res["cell"] = key[0]
+        res[geom] = geoms
+        return res[cols]
 
     return (a.groupBy("cell").cogroup(b.groupBy("cell"))
             .applyInPandas(refine, out_schema))
