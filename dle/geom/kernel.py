@@ -451,6 +451,10 @@ def as_rect(rings: list):
     x1, y1 = r[:, 0].max(), r[:, 1].max()
     if x1 <= x0 or y1 <= y0:
         return None
+    # reject degenerate out-and-back rings (4 rectilinear edges but
+    # zero enclosed area): |shoelace| must equal the bbox area
+    if abs(area([r])) != (x1 - x0) * (y1 - y0):
+        return None
     return float(x0), float(y0), float(x1), float(y1)
 
 

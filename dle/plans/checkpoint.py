@@ -32,7 +32,18 @@ class Manifest:
         p = self._path(stage)
         if not p.exists():
             return []
-        return [json.loads(ln) for ln in p.read_text().splitlines() if ln]
+        out = []
+        for ln in p.read_text().splitlines():
+            if not ln:
+                continue
+            try:
+                out.append(json.loads(ln))
+            except json.JSONDecodeError:
+                # torn final line from a kill mid-append: ignore it —
+                # the affected cells simply recompute, and the
+                # dynamic-partition-overwrite commit makes that safe
+                continue
+        return out
 
     def done_cells(self, stage: str, fingerprint: str) -> set[str]:
         return {r["cell"] for r in self.rows(stage)

@@ -92,19 +92,27 @@ def process_vector(spark: SparkSession, sf_dir: str,
             # manifest rows; completed layers reload from parquet.
             from .checkpoint import Manifest, run_stage
             man = Manifest(f"{ckpt_root}/manifest")
-            fingerprint = f"{sf_dir}|depth={depth}|v1"
+            # every input that shapes layer contents must fingerprint,
+            # or a resume against different data reloads stale stages
+            fingerprint = (f"{sf_dir}|depth={depth}"
+                           f"|orders={n_orders}|v2")
             for po in orders:
                 stage = f"precedence_{int(po):03d}"
                 if (not man.stale(stage, fingerprint)
                         and man.rows(stage)):
-                    acc = spark.read.parquet(f"{ckpt_root}/{stage}") \
-                        .withColumn("cell", F.col("cell").cast("string"))
-                    continue
-                src = agg_src.filter(F.col("process_order") == po)
-                new = insert_difference(acc, src)
-                nxt = new if acc is None else acc.unionByName(new)
-                acc = run_stage(spark, man, stage, fingerprint,
-                                lambda skip, df=nxt: df, ckpt_root)
+                    new_df = spark.read.parquet(
+                        f"{ckpt_root}/{stage}").withColumn(
+                        "cell", F.col("cell").cast("string"))
+                else:
+                    src = agg_src.filter(F.col("process_order") == po)
+                    new = insert_difference(acc, src)
+                    new_df = run_stage(spark, man, stage, fingerprint,
+                                       lambda skip, df=new: df,
+                                       ckpt_root)
+                # each stage commits ONLY its own layer's rows (O(L)
+                # total I/O, not O(L^2) cumulative rewrites); the
+                # accumulator is a union of flat parquet scans
+                acc = new_df if acc is None else acc.unionByName(new_df)
         designatedlands = acc
 
     # A7 planarize.

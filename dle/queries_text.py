@@ -47,16 +47,15 @@ MINHASH_A = [pow(48271, p + 1, M31) for p in range(8)]
 MINHASH_B = [(2246822519 * (p + 1)) % M31 for p in range(8)]
 
 
-def q_dedup_minhash_buckets(spark, sf):
-    """MinHash+LSH: 8 word-level minhash permutations, banded 2-per-band
-    into 4 LSH buckets per doc; emits buckets holding >1 doc (candidate
-    near-dup groups). Engine path: ONE JVM md5 per token inside an
-    array `transform`, then 8 integer permutation mixes as array
-    `aggregate`s — the whole signature computes inside the scan stage
-    (whole-stage codegen, ZERO shuffle until the tiny band rollup; the
-    old explode form shuffled every token hash — at 100 TB that's the
-    difference between a scan and a token-count-sized exchange)."""
-    register_tables(spark, sf)
+def _minhash_band_rows(spark):
+    """(doc_id, band, bucket) MinHash LSH band rows over `documents`:
+    ONE JVM md5 per token inside an array `transform`, 8 integer
+    permutation mixes as array `aggregate`s — the whole signature
+    computes inside the scan stage (whole-stage pipeline, ZERO shuffle;
+    the r1 explode form shuffled every token hash — at 100 TB that's
+    the difference between a scan and a token-count-sized exchange).
+    Shared by dedup_minhash_buckets and dedup_ngram_jaccard so engine
+    and oracle candidate sets can never desynchronize."""
     hs = ("transform(split(text, ' '), t -> cast(conv(substring(md5(t),"
           f" 1, 15), 16, 10) as bigint) % {M31})")
     doc = spark.table("documents").select(
@@ -71,15 +70,14 @@ def q_dedup_minhash_buckets(spark, sf):
                  F.concat_ws("_", f"mh{2 * b}", f"mh{2 * b + 1}")
                  .alias("bucket"))
         for b in range(4)])
-    band = (mh.select("doc_id", F.explode(entries).alias("e"))
+    return (mh.select("doc_id", F.explode(entries).alias("e"))
               .select("doc_id", F.col("e.band").alias("band"),
                       F.col("e.bucket").alias("bucket")))
-    buckets = band.groupBy("band", "bucket").agg(
-        F.countDistinct("doc_id").alias("n_docs"))
-    return buckets.where(F.col("n_docs") > 1)
 
 
-def o_dedup_minhash_buckets():
+def _minhash_band_ctes():
+    """DuckDB CTE chain `tok, hs, mh, band` — the oracle twin of
+    _minhash_band_rows."""
     h = hex2int("t.tok", "duckdb")
     mins = ", ".join(
         f"min((h0 * {MINHASH_A[p]} + {MINHASH_B[p]}) % {M31}) as mh{p}"
@@ -88,12 +86,27 @@ def o_dedup_minhash_buckets():
         f"select doc_id, {b} as band, concat(cast(mh{2 * b} as string),"
         f" '_', cast(mh{2 * b + 1} as string)) as bucket from mh"
         for b in range(4))
-    return f"""
- with tok as (
+    return f"""tok as (
    select doc_id, unnest(string_split(text, ' ')) as tok from documents),
  hs as (select t.doc_id, ({h}) % {M31} as h0 from tok t),
  mh as (select doc_id, {mins} from hs group by doc_id),
- band as ({bands}),
+ band as ({bands})"""
+
+
+def q_dedup_minhash_buckets(spark, sf):
+    """MinHash+LSH: 8 word-level minhash permutations, banded 2-per-band
+    into 4 LSH buckets per doc; emits buckets holding >1 doc (candidate
+    near-dup groups). See _minhash_band_rows for the physical shape."""
+    register_tables(spark, sf)
+    band = _minhash_band_rows(spark)
+    buckets = band.groupBy("band", "bucket").agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    return buckets.where(F.col("n_docs") > 1)
+
+
+def o_dedup_minhash_buckets():
+    return f"""
+ with {_minhash_band_ctes()},
  buckets as (
    select band, bucket,
           cast(count(distinct doc_id) as bigint) as n_docs
@@ -161,22 +174,7 @@ def q_dedup_ngram_jaccard(spark, sf):
     near-dup groups. Either way the pair join is equi-join-bounded,
     never O(n^2)."""
     register_tables(spark, sf)
-    hs = ("transform(split(text, ' '), t -> cast(conv(substring(md5(t),"
-          f" 1, 15), 16, 10) as bigint) % {M31})")
-    doc = spark.table("documents").select(
-        "doc_id", F.expr(hs).alias("hs"))
-    mins = [F.expr(f"aggregate(hs, cast({M31} as bigint), (acc, h) -> "
-                   f"least(acc, (h * {MINHASH_A[p]}L + {MINHASH_B[p]}L)"
-                   f" % {M31}))").alias(f"mh{p}")
-            for p in range(8)]
-    mh = doc.select("doc_id", *mins)
-    entries = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.concat_ws("_", f"mh{2 * b}", f"mh{2 * b + 1}")
-                 .alias("bucket"))
-        for b in range(4)])
-    band = (mh.select("doc_id", F.explode(entries).alias("e"))
-              .select("doc_id", "e.band", "e.bucket"))
+    band = _minhash_band_rows(spark)
     pairs = (band.alias("a").join(
         band.alias("b"),
         (F.col("a.band") == F.col("b.band"))
@@ -216,20 +214,8 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 
 def o_dedup_ngram_jaccard():
-    h = hex2int("t.tok", "duckdb")
-    mins = ", ".join(
-        f"min((h0 * {MINHASH_A[p]} + {MINHASH_B[p]}) % {M31}) as mh{p}"
-        for p in range(8))
-    bands = " union all ".join(
-        f"select doc_id, {b} as band, concat(cast(mh{2 * b} as string),"
-        f" '_', cast(mh{2 * b + 1} as string)) as bucket from mh"
-        for b in range(4))
     return f"""
- with tok as (
-   select doc_id, unnest(string_split(text, ' ')) as tok from documents),
- hs as (select t.doc_id, ({h}) % {M31} as h0 from tok t),
- mh as (select doc_id, {mins} from hs group by doc_id),
- band as ({bands}),
+ with {_minhash_band_ctes()},
  pairs as (
    select distinct a.doc_id as doc_a, b.doc_id as doc_b
    from band a join band b
@@ -577,7 +563,9 @@ def q_ann_lsh_topk(spark, sf):
                     "rank", F.round("cos", 6).alias("cos_r")))
 
 
-def o_ann_lsh_topk():
+def _band_sig_sql_cols():
+    """DuckDB band-signature column list — oracle twin of
+    _band_sig_rows, shared by both ANN oracles."""
     def sig_sql(planes):
         terms = []
         for j, hp in enumerate(planes):
@@ -586,9 +574,13 @@ def o_ann_lsh_topk():
                          f"then {1 << j} else 0 end)")
         return " + ".join(terms)
 
-    sig_cols = ", ".join(
+    return ", ".join(
         f"cast({sig_sql(p)} as int) as s{b}"
         for b, p in enumerate(_band_planes()))
+
+
+def o_ann_lsh_topk():
+    sig_cols = _band_sig_sql_cols()
     band_match = " or ".join(
         f"q.s{b} = c.s{b}" for b in range(ANN_BANDS))
     return f"""
@@ -657,17 +649,7 @@ def q_dedup_embedding_cosine(spark, sf):
 
 
 def o_dedup_embedding_cosine():
-    def sig_sql(planes):
-        terms = []
-        for j, hp in enumerate(planes):
-            lit = "[" + ", ".join(repr(x) for x in hp) + "]"
-            terms.append(f"(case when list_dot_product(v, {lit}) > 0 "
-                         f"then {1 << j} else 0 end)")
-        return " + ".join(terms)
-
-    sig_cols = ", ".join(
-        f"cast({sig_sql(p)} as int) as s{b}"
-        for b, p in enumerate(_band_planes()))
+    sig_cols = _band_sig_sql_cols()
     bands = " union all ".join(
         f"select vec_id, {b} as band, s{b} as sig from sig"
         for b in range(ANN_BANDS))

@@ -51,34 +51,44 @@ def stream_windowed_stats(spark: SparkSession, src_dir: str,
 def stream_sessions(spark: SparkSession, src_dir: str,
                     checkpoint_dir: str, gap_s: int = 1800):
     """Gap-based sessionization as a CUSTOM STATEFUL operator:
-    applyInPandasWithState keyed by user, state = (last event second,
-    open session count). Emits one row per user per micro-batch with
-    the running session count — on bounded input (one availableNow
-    drain, one batch) the final counts equal the batch
+    applyInPandasWithState keyed by user. State = the user's merged
+    session INTERVALS (start/end arrays), so events arriving out of
+    order ACROSS micro-batches still sessionize exactly — a late
+    point that bridges two intervals merges them, identical to a
+    global sort (a last-timestamp-only state would miscount; found in
+    round-2 review). Emits the running session count per user per
+    micro-batch; on bounded input the final counts equal the batch
     events_sessions query."""
 
     def fn(key, pdfs, state: GroupState):
         secs = []
         for pdf in pdfs:
             secs.extend((pdf["ts"].astype("int64") // 10**9).tolist())
-        secs.sort()
         if state.exists:
-            last, n = state.get
+            starts, ends = state.get
+            ivals = [[int(a), int(b)]
+                     for a, b in zip(list(starts), list(ends))]
         else:
-            last, n = None, 0
-        for s in secs:
-            if last is None or s - last > gap_s:
-                n += 1
-            last = s
-        state.update((last, n))
-        yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n]})
+            ivals = []
+        ivals.extend([s, s] for s in secs)
+        ivals.sort()
+        merged: list = []
+        for st_, en in ivals:
+            if merged and st_ - merged[-1][1] <= gap_s:
+                merged[-1][1] = max(merged[-1][1], en)
+            else:
+                merged.append([st_, en])
+        state.update(([m[0] for m in merged],
+                      [m[1] for m in merged]))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "n_sessions": [len(merged)]})
 
     ev = (spark.readStream.format("parquet").schema(EVENTS_SCHEMA)
           .load(src_dir).select("user_id", "ts"))
     out = ev.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType="user_id bigint, n_sessions bigint",
-        stateStructType="last bigint, n bigint",
+        stateStructType="starts array<bigint>, ends array<bigint>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout)
     # foreachBatch sink: unlike the memory sink it supports RESUMING

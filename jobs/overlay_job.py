@@ -37,7 +37,8 @@ def main():
 
     a = spark.read.parquet(in_a)
     b = spark.read.parquet(in_b)
-    out = spatial_overlay(a, b, depth=depth or DEFAULT_DEPTH)
+    out = spatial_overlay(
+        a, b, depth=depth if depth is not None else DEFAULT_DEPTH)
     dump(out, out_dir)
     n = spark.read.parquet(out_dir).count()
     print(f"overlay wrote {n} rows to {out_dir}")

@@ -42,6 +42,35 @@ def test_stream_sessions_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_stream_sessions_out_of_order_across_drains(spark, tmp_path):
+    """Late events in a later drain must sessionize as if globally
+    sorted: a bridging point merges intervals, an isolated earlier
+    point opens its own session."""
+    import datetime as dt
+
+    src = str(tmp_path / "ooo")
+    ck = str(tmp_path / "ck_ooo")
+
+    def write(rows):
+        df = spark.createDataFrame(
+            [(i, 1, "click", 1.0,
+              dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s))
+             for i, s in enumerate(rows)],
+            "event_id bigint, user_id bigint, event_type string,"
+            " value double, ts timestamp")
+        df.write.mode("append").parquet(src)
+
+    write([10000, 20000])            # two sessions (gap 1800)
+    first = stream_sessions(spark, src, ck)
+    assert first[1] == 2
+    write([11000])                   # within gap of 10000: merges
+    second = stream_sessions(spark, src, ck)
+    assert second[1] == 2
+    write([100])                     # isolated early point: new session
+    third = stream_sessions(spark, src, ck)
+    assert third[1] == 3
+
+
 def test_stream_sessions_resume_incremental(spark, tmp_path):
     """State survives across drains: feeding the same directory again
     adds no sessions; feeding NEW later events extends counts."""

@@ -70,6 +70,7 @@ def main():
     md = Path(__file__).resolve().parents[1] / "BENCH" / "BASELINE.md"
     text = md.read_text()
     marker = "## 42-layer registry parity"
+    endmark = "<!-- /42-layer -->"
     section = f"""{marker}
 
 A5 precedence at the reference's registry scale (42 layers,
@@ -84,10 +85,13 @@ Speedup {out['speedup']}x; total output areas identical. The loop
 form's cost grows with L (one wide job + lineage checkpoint per
 layer); the fused fold is L-independent in job count, which is why it
 is the default for large registries.
+{endmark}
 """
     if marker in text:
-        head = text.split(marker)[0]
-        text = head + section
+        head, rest = text.split(marker, 1)
+        # preserve anything after our own section's end marker
+        tail = rest.split(endmark, 1)[1] if endmark in rest else ""
+        text = head + section + tail
     else:
         text = text + "\n" + section
     md.write_text(text)
