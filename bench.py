@@ -42,6 +42,7 @@ HEADLINE = [
     "overlay_intersect_pairs",
     "overlay_clip_area",
     "overlay_precedence_area_1d",
+    "boundary_build_area",
     "overlay_planarize_coverage_1d",
     "dedup_exact",
     "dedup_minhash_buckets",
