@@ -618,6 +618,131 @@ def o_ann_lsh_topk():
  from ranked where rank <= {ANN_K}"""
 
 
+IVF_NCENT = 8    # deterministic seed centroids (corpus vec_id 5..12)
+IVF_NPROBE = 2
+
+
+def _cos_expr(a: str, b: str) -> str:
+    dot = (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D,"
+           " (acc, x) -> acc + x)")
+    na = (f"aggregate(zip_with({a}, {a}, (x, y) -> x * y), 0D,"
+          " (acc, x) -> acc + x)")
+    nb = (f"aggregate(zip_with({b}, {b}, (x, y) -> x * y), 0D,"
+          " (acc, x) -> acc + x)")
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def q_ann_ivf_topk(spark, sf):
+    """IVF-style ANN (round brief: 'an IVF or LSH-bucketed variant as
+    the scale path'): training-free inverted file — 8 deterministic
+    seed centroids (production would k-means-refine them; the plan
+    shape is identical), every corpus vector assigned to its nearest
+    centroid ONCE (a scan-side broadcast join, the inverted lists),
+    queries probe their NPROBE nearest lists, exact cosine top-k within
+    the probed lists, brute fallback for under-filled queries.
+
+    Scale shape (10^12 corpus): assignment is one broadcast join +
+    argmax (no shuffle of the corpus beyond the list equi-join);
+    per-query work is bounded by probed-list size, never the corpus."""
+    register_tables(spark, sf)
+    from pyspark.sql.window import Window
+
+    emb = spark.table("embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("v"))
+    qs = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
+    cs = emb.where("vec_id >= 5")
+    cents = F.broadcast(
+        emb.where(f"vec_id >= 5 and vec_id < {5 + IVF_NCENT}")
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosc"), F.col("cid"))
+    assign = (cs.crossJoin(cents)
+              .select("vec_id", "cid",
+                      F.expr(_cos_expr("v", "cv")).alias("cosc"))
+              .withColumn("r", F.row_number().over(wa))
+              .where("r = 1").select("vec_id", "cid"))
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cosq"), F.col("cid"))
+    probes = (qs.crossJoin(cents)
+              .select("query_id", "cid",
+                      F.expr(_cos_expr("q", "cv")).alias("cosq"))
+              .withColumn("r", F.row_number().over(wq))
+              .where(f"r <= {IVF_NPROBE}").select("query_id", "cid"))
+
+    cand = F.broadcast(probes).join(assign, "cid") \
+        .select("query_id", "vec_id")
+    n_cand = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
+    eligible = n_cand.where(F.col("_n") >= ANN_K).select("query_id")
+    pairs = (cand.join(F.broadcast(eligible), "query_id")
+             .unionByName(
+                 qs.select("query_id")
+                 .join(F.broadcast(eligible), "query_id", "left_anti")
+                 .crossJoin(cs.select("vec_id"))))
+    scored = (pairs.join(F.broadcast(qs), "query_id")
+              .join(cs.select("vec_id", "v"), "vec_id")
+              .select("query_id", "vec_id",
+                      F.expr(_cos_expr("q", "v")).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(f"rank <= {ANN_K}")
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "rank", F.round("cos", 6).alias("cos_r")))
+
+
+def o_ann_ivf_topk():
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a},"
+           " {a})) * sqrt(list_dot_product({b}, {b})))")
+    return f"""
+ with emb as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+ q as (select vec_id as query_id, v as qv from emb where vec_id < 5),
+ c as (select vec_id, v from emb where vec_id >= 5),
+ cent as (select vec_id as cid, v as cv from emb
+          where vec_id >= 5 and vec_id < {5 + IVF_NCENT}),
+ assign as (
+   select vec_id, cid from (
+     select c.vec_id, cent.cid,
+            row_number() over (partition by c.vec_id order by
+              {cos.format(a='c.v', b='cent.cv')} desc, cent.cid) as r
+     from c, cent) t where r = 1),
+ probes as (
+   select query_id, cid from (
+     select q.query_id, cent.cid,
+            row_number() over (partition by q.query_id order by
+              {cos.format(a='q.qv', b='cent.cv')} desc, cent.cid) as r
+     from q, cent) t where r <= {IVF_NPROBE}),
+ cand as (
+   select p.query_id, a.vec_id
+   from probes p join assign a on a.cid = p.cid),
+ eligible as (
+   select query_id from cand group by query_id
+   having count(*) >= {ANN_K}),
+ pairs as (
+   select query_id, vec_id from cand
+   where query_id in (select query_id from eligible)
+   union all
+   select q.query_id, c.vec_id from q, c
+   where q.query_id not in (select query_id from eligible)),
+ scored as (
+   select p.query_id, p.vec_id,
+          {cos.format(a='q.qv', b='c.v')} as cos
+   from pairs p
+   join q on q.query_id = p.query_id
+   join c on c.vec_id = p.vec_id),
+ ranked as (
+   select query_id, vec_id, cos,
+          row_number() over (partition by query_id
+                             order by cos desc, vec_id) as rank
+   from scored)
+ select query_id, vec_id as neighbor_id, cast(rank as int) as rank,
+        round(cos, 6) as cos_r
+ from ranked where rank <= {ANN_K}"""
+
+
 def q_dedup_embedding_cosine(spark, sf):
     """Embedding-cosine near-dup (round brief): corpus-vs-corpus pairs
     whose LSH band signatures collide, kept when cosine >= 0.25.
@@ -671,6 +796,32 @@ def o_dedup_embedding_cosine():
    join emb qb on qb.vec_id = p.vec_b)
  select vec_a, vec_b, round(cos, 6) as cos_r
  from scored where cos >= 0.25"""
+
+
+def q_text_bpe_tokens(spark, sf):
+    """Token counting (round brief: 'whitespace + a BPE-ish regex'):
+    whitespace tokens plus subword-ish runs (letter runs / digit runs /
+    punctuation runs — the class split a BPE pre-tokenizer makes).
+    Pure JVM regexp in the scan stage; ASCII classes behave identically
+    in Java regex (Spark) and RE2 (DuckDB), verified at the gate."""
+    register_tables(spark, sf)
+    # SQL literal eats one backslash layer in Spark: '\\\\s' -> \\s
+    return spark.table("documents").selectExpr(
+        "doc_id",
+        "cast(size(split(text, ' ')) as bigint) as n_ws_tokens",
+        "cast(size(regexp_extract_all(text,"
+        " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]+', 0)) as bigint)"
+        " as n_bpe_tokens")
+
+
+def o_text_bpe_tokens():
+    return r"""
+ select doc_id,
+        cast(len(string_split(text, ' ')) as bigint) as n_ws_tokens,
+        cast(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) as bigint)
+          as n_bpe_tokens
+ from documents"""
 
 
 # -------------------------------------------------------- multimodal
@@ -838,9 +989,11 @@ TEXT_QUERIES = {
     "text_fingerprint": (q_text_fingerprint, o_text_fingerprint),
     "text_stats": (q_text_stats, o_text_stats),
     "text_langid": (q_text_langid, o_text_langid),
+    "text_bpe_tokens": (q_text_bpe_tokens, o_text_bpe_tokens),
     "ann_cosine_topk": (q_ann_cosine_topk, o_ann_cosine_topk),
     "ann_lsh_buckets": (q_ann_lsh_buckets, o_ann_lsh_buckets),
     "ann_lsh_topk": (q_ann_lsh_topk, o_ann_lsh_topk),
+    "ann_ivf_topk": (q_ann_ivf_topk, o_ann_ivf_topk),
     "multimodal_pipeline_stats": (q_multimodal_pipeline_stats,
                                   o_multimodal_pipeline_stats),
     "events_window_stats": (q_events_window_stats, o_events_window_stats),
