@@ -30,6 +30,33 @@ def run_available_now(spark: SparkSession, src_dir: str, schema: str,
     q.awaitTermination()
 
 
+def stream_pip_rollup(spark: SparkSession, src_dir: str,
+                      layers, out_accumulator: list,
+                      checkpoint_dir: str, depth: int = 4) -> None:
+    """Incremental overlay: stream of geocoded page points joined
+    against the STATIC designation-layer table (stream-static join —
+    the layers side broadcasts exactly like the batch PIP path), then
+    precedence-resolved and rolled up per designation per micro-batch.
+    The batch operators run unchanged inside foreachBatch; re-running
+    after new files arrive processes only the new pages."""
+    from ..operators.spatial_join import pip_join_rects, precedence_resolve
+
+    lay = layers.select("feat_id", "process_order",
+                        "x0", "y0", "x1", "y1")
+
+    def batch_fn(df: DataFrame, epoch_id: int) -> None:
+        pairs = pip_join_rects(df, lay, depth)
+        won = precedence_resolve(pairs, ["page_id", "cand_i"])
+        rows = won.groupBy("process_order").count().collect()
+        out_accumulator.append(
+            {r["process_order"]: r["count"] for r in rows})
+
+    run_available_now(
+        spark, src_dir,
+        "page_id bigint, cand_i int, px double, py double",
+        batch_fn, checkpoint_dir)
+
+
 def stream_cell_counts(spark: SparkSession, src_dir: str,
                        out_accumulator: list, checkpoint_dir: str,
                        depth: int = 4) -> None:

@@ -71,6 +71,39 @@ def test_stream_sessions_out_of_order_across_drains(spark, tmp_path):
     assert third[1] == 3
 
 
+def test_stream_pip_rollup_matches_batch(spark, tmp_path):
+    """Stream-static PIP precedence: draining the full points table
+    through the streaming path totals exactly the batch rollup; a
+    second drain with no new files adds nothing."""
+    from dle import sqlgen
+    from dle.config import DEFAULT_DEPTH
+    from dle.streaming.availablenow import stream_pip_rollup
+
+    src = str(tmp_path / "pts")
+    pts = sqlgen.spark_view(spark, SF, "points").select(
+        "page_id", "cand_i", "px", "py")
+    pts.write.parquet(src)
+    layers = sqlgen.spark_view(spark, SF, "layers")
+    acc: list = []
+    stream_pip_rollup(spark, src, layers, acc,
+                      str(tmp_path / "ckp"), DEFAULT_DEPTH)
+    got: dict = {}
+    for d in acc:
+        for k, v in d.items():
+            got[k] = got.get(k, 0) + v
+    want = {
+        r["process_order"]: r["n_points"]
+        for r in q.queries()["spatial_rollup_counts"](spark, SF)
+        .withColumn("process_order",
+                    F.expr("cast(substring(designation, 7, 2) as int)"))
+        .select("process_order", "n_points").collect()}
+    assert got == want
+    acc2: list = []
+    stream_pip_rollup(spark, src, layers, acc2,
+                      str(tmp_path / "ckp"), DEFAULT_DEPTH)
+    assert sum(sum(d.values()) for d in acc2) == 0
+
+
 def test_stream_sessions_resume_incremental(spark, tmp_path):
     """State survives across drains: feeding the same directory again
     adds no sessions; feeding NEW later events extends counts."""
