@@ -115,6 +115,49 @@ def raster_value_counts(raster: DataFrame, plane: str = "designation",
         F.sum("n_pixels").alias("n_pixels"))
 
 
+def zonal_stats(raster: DataFrame, value_of,
+                plane: str = "designation",
+                exclude: int = NODATA) -> DataFrame:
+    """Zonal statistics (B2 extension): per zone (plane value),
+    pixel count and sum of a value raster computed from GLOBAL pixel
+    indices — ``value_of(gx, gy) -> ndarray`` (e.g. a DEM/landcover
+    lookup; here an arithmetic stand-in, no raster I/O in sandbox).
+    Map-side per-cell bincount partials, one tiny shuffle — the same
+    distributed shape as raster_value_counts."""
+
+    def per(it):
+        for pdf in it:
+            sums = np.zeros(256, dtype=np.float64)
+            cnts = np.zeros(256, dtype=np.int64)
+            for cell, nx, ny, blob in zip(
+                    pdf["cell"], pdf["nx"], pdf["ny"], pdf[plane]):
+                zone = np.frombuffer(blob, dtype=np.uint8).reshape(
+                    ny, nx)
+                x0, y0, _, _ = cell_bounds(cell)
+                res = res_at(len(cell)) / nx
+                gx0 = int(round((x0 - XMIN) / res))
+                gy0 = int(round((y0 - YMIN) / res))
+                gx = gx0 + np.arange(nx)
+                gy = gy0 + np.arange(ny)
+                v = value_of(gx[None, :], gy[:, None]) \
+                    * np.ones((ny, nx))
+                keep = zone != exclude
+                z = zone[keep].astype(np.int64)
+                cnts += np.bincount(z, minlength=256)
+                sums += np.bincount(z, weights=v[keep], minlength=256)
+            nz = np.flatnonzero(cnts)
+            yield pd.DataFrame({
+                "value": nz.astype(np.int32),
+                "n_pixels": cnts[nz],
+                "sum_value": sums[nz]})
+
+    part = raster.mapInPandas(
+        per, "value int, n_pixels bigint, sum_value double")
+    return part.groupBy("value").agg(
+        F.sum("n_pixels").alias("n_pixels"),
+        F.sum("sum_value").cast("bigint").alias("sum_value"))
+
+
 def rat(registry: DataFrame) -> DataFrame:
     """B3 raster attribute table: VALUE -> DESCRIPTION legend
     (/root/reference/designatedlands.py:116-142)."""

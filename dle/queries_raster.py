@@ -97,7 +97,43 @@ def o_raster_forest_pixels():
  from mx group by lvl""")
 
 
+def q_raster_zonal_stats(spark, sf):
+    """Zonal statistics over the precedence-won designation zones:
+    count + sum of a deterministic per-pixel value ((gx + gy) % 7, the
+    arithmetic stand-in for a DEM/landcover raster) per zone. Engine =
+    per-cell numpy bincount partials; oracle = the same per-pixel
+    winners and values relationally."""
+    from .operators.raster import zonal_stats
+    out = zonal_stats(_raster(spark, sf),
+                      lambda gx, gy: (gx + gy) % 7)
+    return out.select(
+        F.concat(F.lit("desig_"),
+                 F.lpad(F.col("value").cast("string"), 2, "0"))
+        .alias("designation"),
+        "n_pixels", "sum_value")
+
+
+def o_raster_zonal_stats():
+    return (sqlgen.preamble("duckdb", pages=False) + f"""
+ , pixi as (select gx.i as ix, gy.i as iy,
+             cast({XMIN!r} as double) + (gx.i + 0.5) * {RES!r} as px,
+             cast({YMIN!r} as double) + (gy.i + 0.5) * {RES!r} as py
+        from {sqlgen.series(NGX, 'gx', 'i', 'duckdb')},
+             {sqlgen.series(NGY, 'gy', 'i', 'duckdb')}),
+ won as (
+   select p.ix, p.iy, min(l.process_order) as po
+   from pixi p join layers l
+     on p.px > l.x0 and p.px < l.x1 and p.py > l.y0 and p.py < l.y1
+   group by p.ix, p.iy)
+ select concat('desig_', lpad(cast(po as string), 2, '0'))
+          as designation,
+        cast(count(*) as bigint) as n_pixels,
+        cast(sum((ix + iy) % 7) as bigint) as sum_value
+ from won group by po""")
+
+
 RASTER_QUERIES = {
+    "raster_zonal_stats": (q_raster_zonal_stats, o_raster_zonal_stats),
     "raster_precedence_pixels": (q_raster_precedence_pixels,
                                  o_raster_precedence_pixels),
     "raster_forest_pixels": (q_raster_forest_pixels,
