@@ -906,6 +906,43 @@ def o_events_window_stats():
  from events group by 1, 2"""
 
 
+def q_events_sliding_window(spark, sf):
+    """Hopping/sliding window (2 h window, 1 h hop): each event lands
+    in exactly two windows. Engine path uses Spark's native window()
+    generator (the streaming windowed-agg primitive in batch mode);
+    oracle expands the two hops explicitly."""
+    register_tables(spark, sf)
+    ev = spark.table("events").select(
+        "event_type", "value", "ts")
+    win = (ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
+                      "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+                .alias("sum_value_c")))
+    return win.select(
+        F.expr("cast(floor(cast(unix_timestamp(w.start) as bigint)"
+               " / 3600) as bigint)").alias("window_start_h"),
+        "event_type", "n", "sum_value_c")
+
+
+def o_events_sliding_window():
+    return """
+ with e as (
+   select event_type,
+          cast(round(value * 100, 0) as bigint) as vc,
+          cast(floor(cast(floor(epoch(ts)) as bigint) / 3600) as bigint)
+            as h
+   from events),
+ hops as (
+   select event_type, vc, h as window_start_h from e
+   union all
+   select event_type, vc, h - 1 from e)
+ select window_start_h, event_type,
+        cast(count(*) as bigint) as n,
+        cast(sum(vc) as bigint) as sum_value_c
+ from hops group by window_start_h, event_type"""
+
+
 def q_events_sessions(spark, sf):
     """Gap-based sessionization (30-min gap) per user via window
     functions — G1/streaming-state analogue in batch."""
@@ -997,6 +1034,8 @@ TEXT_QUERIES = {
     "multimodal_pipeline_stats": (q_multimodal_pipeline_stats,
                                   o_multimodal_pipeline_stats),
     "events_window_stats": (q_events_window_stats, o_events_window_stats),
+    "events_sliding_window": (q_events_sliding_window,
+                              o_events_sliding_window),
     "events_sessions": (q_events_sessions, o_events_sessions),
     "asof_click_purchase": (q_asof_click_purchase, o_asof_click_purchase),
 }
