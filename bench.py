@@ -79,8 +79,11 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("dle-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM/Arrow path once so timings measure the engine
+    # warm BOTH execution paths once so timings measure the engine:
+    # a JVM/codegen query and an Arrow-kernel query (spins up the
+    # Python worker pool + numpy import in every worker)
     q.queries()["spatial_rollup_counts"](spark, sf_dir).count()
+    q.queries()["overlay_dissolve_area_1d"](spark, sf_dir).count()
     times, rows = run_suite(spark, sf_dir)
     total = round(sum(times.values()), 3)
     docs = n_docs(spark, sf_dir)
