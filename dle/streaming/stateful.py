@@ -48,6 +48,31 @@ def stream_windowed_stats(spark: SparkSession, src_dir: str,
     return spark.table(name).collect()
 
 
+def stream_windowed_append(spark: SparkSession, src_dir: str,
+                           checkpoint_dir: str, rows: list,
+                           watermark: str = "1 hour") -> None:
+    """APPEND-mode tumbling windows with a real late-data watermark:
+    a window emits exactly once, when the watermark passes its end,
+    and events arriving after that are DROPPED (state already purged).
+    foreachBatch sink so watermark + state resume across drains."""
+    ev = (spark.readStream.format("parquet").schema(EVENTS_SCHEMA)
+          .load(src_dir)
+          .withWatermark("ts", watermark))
+    agg = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.col("w.start").alias("window_start"),
+                   "event_type", "n"))
+
+    def sink(df, epoch_id):
+        rows.extend(df.collect())
+
+    q = (agg.writeStream.outputMode("append")
+         .foreachBatch(sink)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
 def stream_sessions(spark: SparkSession, src_dir: str,
                     checkpoint_dir: str, gap_s: int = 1800):
     """Gap-based sessionization as a CUSTOM STATEFUL operator:

@@ -85,6 +85,40 @@ def test_make_valid_resnap_drift_bounded(rs):
     assert abs(K.area(twice) - K.area(once)) <= bound
 
 
+@given(st.lists(ring, min_size=1, max_size=4))
+@settings(max_examples=150, deadline=None)
+def test_planarize_faces_are_positive_and_labeled(rs):
+    """Flagship-op audit: every planarize face has positive area and a
+    non-empty label set (faces only exist where something covers
+    them), and the single-polygon case reproduces that polygon's own
+    valid area exactly. (A merged-operand 'union' oracle is NOT valid
+    here: opposite orientations and figure-8 windings cancel across
+    polygons while planarize correctly covers per-tag nonzero winding
+    — found by this fuzz; the cross-polygon invariant lives in
+    test_planarize_label_areas_match_booleans.)"""
+    tagged = [(i, [r]) for i, r in enumerate(rs)]
+    faces = K.planarize(tagged, grid=1.0, with_rings=False)
+    assert all(f.area_m2 > 0 for f in faces)
+    assert all(len(f.labels) > 0 for f in faces)
+    one = K.planarize([(0, [rs[0]])], grid=1.0, with_rings=False)
+    want = K.boolean_area([rs[0]], [], "a", grid=1.0)
+    assert sum(f.area_m2 for f in one) == pytest.approx(want, abs=1e-6)
+
+
+@given(st.lists(ring, min_size=2, max_size=4))
+@settings(max_examples=150, deadline=None)
+def test_planarize_label_areas_match_booleans(rs):
+    """Each tag's total face area (summed over faces containing the
+    tag) must equal that polygon's own valid area intersected with
+    nothing — i.e. the boolean 'a' area of the tag's rings."""
+    tagged = [(i, [r]) for i, r in enumerate(rs)]
+    faces = K.planarize(tagged, grid=1.0, with_rings=False)
+    for i, r in enumerate(rs):
+        got = sum(f.area_m2 for f in faces if i in f.labels)
+        want = K.boolean_area([r], [], "a", grid=1.0)
+        assert got == pytest.approx(want, abs=1e-6), i
+
+
 def test_lossy_accumulator_plumbing(spark):
     """The Spark accumulator surfaces worker-side drops: 0 on clean
     inputs (incl. bowties, which repair losslessly), and the drain path

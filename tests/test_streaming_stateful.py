@@ -71,6 +71,42 @@ def test_stream_sessions_out_of_order_across_drains(spark, tmp_path):
     assert third[1] == 3
 
 
+def test_stream_append_watermark_drops_late_events(spark, tmp_path):
+    """Append mode + 1h watermark: a window emits once when the
+    watermark passes it; an event later than the watermark is dropped
+    (never re-emits or modifies the already-final window)."""
+    import datetime as dt
+
+    from dle.streaming.stateful import stream_windowed_append
+
+    src = str(tmp_path / "wsrc")
+    ck = str(tmp_path / "wck")
+    b = dt.datetime(2024, 1, 1)
+
+    def write(secs):
+        spark.createDataFrame(
+            [(i, 1, "click", 1.0, b + dt.timedelta(seconds=s))
+             for i, s in enumerate(secs)],
+            "event_id bigint, user_id bigint, event_type string,"
+            " value double, ts timestamp"
+        ).write.mode("append").parquet(src)
+
+    rows: list = []
+    write([0, 100, 5 * 3600])           # W0 x2 + an event at 5h
+    stream_windowed_append(spark, src, ck, rows)
+    write([10 * 3600])                  # advances watermark past W0
+    stream_windowed_append(spark, src, ck, rows)
+    w0 = [r for r in rows if r["window_start"] == b]
+    assert len(w0) == 1 and w0[0]["n"] == 2   # W0 final, exactly once
+    write([1800, 20 * 3600])            # 1800s is BEYOND-LATE for W0
+    stream_windowed_append(spark, src, ck, rows)
+    w0 = [r for r in rows if r["window_start"] == b]
+    assert len(w0) == 1 and w0[0]["n"] == 2   # late event dropped
+    w5 = [r for r in rows
+          if r["window_start"] == b + dt.timedelta(hours=5)]
+    assert len(w5) == 1 and w5[0]["n"] == 1   # 5h window finalized
+
+
 def test_stream_pip_rollup_matches_batch(spark, tmp_path):
     """Stream-static PIP precedence: draining the full points table
     through the streaming path totals exactly the batch rollup; a
