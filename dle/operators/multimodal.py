@@ -95,6 +95,38 @@ def extract_features(media: DataFrame, use_decoder: bool = False
              "bytes_sha string, feat array<float>")
 
 
+def resize(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize plumbing: aspect-preserving target dims (the real op
+    decodes + PIL-resizes; sandbox stand-in downsamples the payload by
+    byte stride so batch shapes and payload-size accounting are real).
+    Output schema mirrors the input with new dims + resized payload."""
+
+    def run(it):
+        for pdf in it:
+            ws, hs, blobs = [], [], []
+            for w, h, blob in zip(pdf["width"], pdf["height"],
+                                  pdf["media"]):
+                w, h = int(w), int(h)
+                scale = max(w, h) / float(max_side)
+                if scale <= 1.0:
+                    nw, nh, nb = w, h, bytes(blob)
+                else:
+                    nw = max(1, int(w / scale))
+                    nh = max(1, int(h / scale))
+                    stride = max(1, int(scale))
+                    nb = bytes(blob)[::stride]  # deterministic stand-in
+                ws.append(nw)
+                hs.append(nh)
+                blobs.append(nb)
+            out = pdf.copy()
+            out["width"] = ws
+            out["height"] = hs
+            out["media"] = blobs
+            yield out
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_k: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: explode n_frames into sampled
     frame indexes (the decode of each frame is the same stub)."""

@@ -875,6 +875,52 @@ def o_multimodal_pipeline_stats():
  from byk b left join fr on fr.kind = b.kind"""
 
 
+def q_multimodal_resize_stats(spark, sf):
+    """Resize plumbing through the gate: aspect-preserving target dims
+    + stride-downsampled payload sizes, per kind. The decode/resample
+    itself is the documented stand-in; dims and byte accounting are
+    exact and oracle-checked (both branches: passthrough when
+    max(w,h) <= 256, downsample otherwise)."""
+    from .operators.multimodal import resize, synth_media
+    media = resize(synth_media(spark, sf), max_side=256)
+    return media.select(
+        "kind", "width", "height",
+        F.length("media").alias("nb")).groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("width").alias("sum_w"),
+        F.sum("height").alias("sum_h"),
+        F.sum("nb").alias("sum_bytes"))
+
+
+def o_multimodal_resize_stats():
+    return """
+ with m as (
+   select doc_id, k.kind,
+          9 + octet_length(encode(text)) as len0,
+          cast(64 + doc_id % 512 as int) as w,
+          cast(64 + (doc_id * 7) % 512 as int) as h
+   from documents, (select unnest(['image', 'audio']) as kind) k),
+ calc as (
+   select kind,
+          case when greatest(w, h) <= 256 then w
+               else greatest(1, cast(floor(
+                 w / (greatest(w, h) / 256.0)) as int)) end as nw,
+          case when greatest(w, h) <= 256 then h
+               else greatest(1, cast(floor(
+                 h / (greatest(w, h) / 256.0)) as int)) end as nh,
+          case when greatest(w, h) <= 256 then len0
+               else (len0 + greatest(1, cast(floor(
+                 greatest(w, h) / 256.0) as int)) - 1)
+                 // greatest(1, cast(floor(
+                 greatest(w, h) / 256.0) as int)) end as nb
+   from m)
+ select kind, cast(count(*) as bigint) as n_rows,
+        cast(sum(nw) as bigint) as sum_w,
+        cast(sum(nh) as bigint) as sum_h,
+        cast(sum(nb) as bigint) as sum_bytes
+ from calc group by kind"""
+
+
 # ----------------------------------------------------------- events
 
 _EPOCH_US = ("cast(unix_timestamp(ts) as bigint) * 1000000"
@@ -1033,6 +1079,8 @@ TEXT_QUERIES = {
     "ann_ivf_topk": (q_ann_ivf_topk, o_ann_ivf_topk),
     "multimodal_pipeline_stats": (q_multimodal_pipeline_stats,
                                   o_multimodal_pipeline_stats),
+    "multimodal_resize_stats": (q_multimodal_resize_stats,
+                                o_multimodal_resize_stats),
     "events_window_stats": (q_events_window_stats, o_events_window_stats),
     "events_sliding_window": (q_events_sliding_window,
                               o_events_sliding_window),
