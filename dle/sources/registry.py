@@ -32,6 +32,61 @@ class Source:
     extras: dict = field(default_factory=dict)
 
 
+# Restriction class names -> raster levels
+# (/root/reference/designatedlands.py:291-298).
+RESTRICTION_LOOKUP = {
+    "PROTECTED": 5, "FULL": 4, "HIGH": 3,
+    "MEDIUM": 2, "LOW": 1, "NONE": 0,
+}
+
+_CORE_FIELDS = {"process_order", "designation", "source_id_col",
+                "source_name_col", "exclude", "preprocess_operation",
+                "preprocess_args"}
+
+
+def from_csv(path: str) -> list[Source]:
+    """Parse a sources CSV in the reference's format
+    (sources_designations.csv header: process_order, exclude,
+    designation, source_id_col, source_name_col,
+    forest/og/mine_restriction as CLASS NAMES, preprocess_*, plus
+    download-metadata columns kept as extras). Restriction names map
+    through RESTRICTION_LOOKUP (designatedlands.py:400-407); unknown
+    names raise like the reference's validation (:464-483). Registry
+    parsing is driver-side (a few dozen rows), like the reference."""
+    import csv
+
+    out = []
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f):
+            if not (row.get("process_order") or "").strip():
+                continue
+            levels = {}
+            for c in RESTRICTION_COLS:
+                name = (row.get(c) or "").strip().upper()
+                if name not in RESTRICTION_LOOKUP:
+                    raise ValueError(
+                        f"Invalid {c} value {row.get(c)!r} for source "
+                        f"{row.get('designation')!r} "
+                        "(designatedlands.py:464-483)")
+                levels[c] = RESTRICTION_LOOKUP[name]
+            extras = {k: v for k, v in row.items()
+                      if k not in _CORE_FIELDS
+                      and k not in RESTRICTION_COLS}
+            out.append(Source(
+                process_order=int(row["process_order"]),
+                designation=row.get("designation", ""),
+                source_id_col=row.get("source_id_col") or "src_id",
+                source_name_col=row.get("source_name_col") or "src_name",
+                exclude=(row.get("exclude") or "").strip(),
+                preprocess_operation=(
+                    row.get("preprocess_operation") or "").strip(),
+                preprocess_args=(
+                    row.get("preprocess_args") or "").strip(),
+                extras=extras,
+                **levels))
+    return out
+
+
 def validate(sources: list[Source]) -> list[Source]:
     """Reference validation semantics:
       * excluded rows dropped first (designatedlands.py:358-362)

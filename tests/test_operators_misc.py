@@ -129,6 +129,39 @@ def test_dump_flattens_arrays(spark, tmp_path):
     assert got["001"] == ("c", "3")
 
 
+def test_registry_from_csv(tmp_path):
+    """C3: parse the reference's sources CSV format — restriction
+    class names map to levels, excluded rows survive parsing (dropped
+    by validate), unknown class names raise."""
+    from dle.sources.registry import from_csv, validate
+
+    p = tmp_path / "sources.csv"
+    p.write_text(
+        "process_order,exclude,name,designation,source_id_col,"
+        "source_name_col,forest_restriction,og_restriction,"
+        "mine_restriction,url,preprocess_operation,preprocess_args\n"
+        "1,,Parks,park,PID,PNAME,Protected,Protected,Protected,"
+        "https://x.example/a,,\n"
+        "2,,Wildlife,wha,WID,WNAME,High,Medium,Low,"
+        "https://x.example/b,clip,land\n"
+        "3,T,Excluded,ex,,,None,None,None,,,\n")
+    srcs = from_csv(str(p))
+    assert [s.process_order for s in srcs] == [1, 2, 3]
+    assert srcs[0].forest_restriction == 5
+    assert srcs[1].og_restriction == 2 and srcs[1].mine_restriction == 1
+    assert srcs[1].preprocess_operation == "clip"
+    assert srcs[0].extras["url"] == "https://x.example/a"
+    kept = validate(srcs)
+    assert [s.designation for s in kept] == ["park", "wha"]
+
+    bad = tmp_path / "bad.csv"
+    bad.write_text(
+        "process_order,designation,forest_restriction,og_restriction,"
+        "mine_restriction\n1,x,Sorta,None,None\n")
+    with pytest.raises(ValueError, match="Invalid forest_restriction"):
+        from_csv(str(bad))
+
+
 def test_registry_to_dataframe(spark):
     df = to_dataframe(spark, [Source(process_order=1, designation="a")])
     assert df.collect()[0]["designation"] == "a"
