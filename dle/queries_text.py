@@ -47,19 +47,39 @@ MINHASH_A = [pow(48271, p + 1, M31) for p in range(8)]
 MINHASH_B = [(2246822519 * (p + 1)) % M31 for p in range(8)]
 
 
-def _minhash_band_rows(spark):
+# Word-3-gram shingle array (distinct), shared by the Jaccard
+# verification join and the shingle-minhash candidate generator.
+_SHINGLES = ("array_distinct(transform(sequence(0, size(split(text, ' '))"
+             " - 3), i -> concat_ws(' ', split(text, ' ')[i],"
+             " split(text, ' ')[i + 1], split(text, ' ')[i + 2])))")
+
+
+def _minhash_band_rows(spark, shingles: bool = False):
     """(doc_id, band, bucket) MinHash LSH band rows over `documents`:
     ONE JVM md5 per token inside an array `transform`, 8 integer
     permutation mixes as array `aggregate`s — the whole signature
     computes inside the scan stage (whole-stage pipeline, ZERO shuffle;
     the r1 explode form shuffled every token hash — at 100 TB that's
     the difference between a scan and a token-count-sized exchange).
-    Shared by dedup_minhash_buckets and dedup_ngram_jaccard so engine
-    and oracle candidate sets can never desynchronize."""
-    hs = ("transform(split(text, ' '), t -> cast(conv(substring(md5(t),"
+    Shared with the oracle CTEs so engine and oracle candidate sets can
+    never desynchronize.
+
+    ``shingles=True`` minhashes the word-3-gram SHINGLE set instead of
+    unigram tokens — the production candidate generator (VERDICT r2 #1:
+    unigram banding buckets same-language text together and degenerates
+    toward all-pairs; shingle banding buckets true near-dups only).
+    Docs with fewer than 3 tokens have no shingles and are excluded
+    (they cannot be 3-gram near-dups of anything)."""
+    if shingles:
+        units = _SHINGLES
+        base = spark.table("documents").where(
+            F.expr("size(split(text, ' ')) >= 3"))
+    else:
+        units = "split(text, ' ')"
+        base = spark.table("documents")
+    hs = (f"transform({units}, t -> cast(conv(substring(md5(t),"
           f" 1, 15), 16, 10) as bigint) % {M31})")
-    doc = spark.table("documents").select(
-        "doc_id", F.expr(hs).alias("hs"))
+    doc = base.select("doc_id", F.expr(hs).alias("hs"))
     mins = [F.expr(f"aggregate(hs, cast({M31} as bigint), (acc, h) -> "
                    f"least(acc, (h * {MINHASH_A[p]}L + {MINHASH_B[p]}L)"
                    f" % {M31}))").alias(f"mh{p}")
@@ -75,9 +95,9 @@ def _minhash_band_rows(spark):
                       F.col("e.bucket").alias("bucket")))
 
 
-def _minhash_band_ctes():
+def _minhash_band_ctes(shingles: bool = False):
     """DuckDB CTE chain `tok, hs, mh, band` — the oracle twin of
-    _minhash_band_rows."""
+    _minhash_band_rows (``shingles`` selects the same unit set)."""
     h = hex2int("t.tok", "duckdb")
     mins = ", ".join(
         f"min((h0 * {MINHASH_A[p]} + {MINHASH_B[p]}) % {M31}) as mh{p}"
@@ -86,8 +106,17 @@ def _minhash_band_ctes():
         f"select doc_id, {b} as band, concat(cast(mh{2 * b} as string),"
         f" '_', cast(mh{2 * b + 1} as string)) as bucket from mh"
         for b in range(4))
-    return f"""tok as (
-   select doc_id, unnest(string_split(text, ' ')) as tok from documents),
+    if shingles:
+        tok = """tok as (
+   select distinct doc_id,
+          concat_ws(' ', ts[i], ts[i + 1], ts[i + 2]) as tok
+   from (select doc_id, string_split(text, ' ') as ts from documents
+         where len(string_split(text, ' ')) >= 3) toks,
+        lateral (select unnest(generate_series(1, len(ts) - 2)) as i))"""
+    else:
+        tok = """tok as (
+   select doc_id, unnest(string_split(text, ' ')) as tok from documents)"""
+    return f"""{tok},
  hs as (select t.doc_id, ({h}) % {M31} as h0 from tok t),
  mh as (select doc_id, {mins} from hs group by doc_id),
  band as ({bands})"""
@@ -162,19 +191,18 @@ def o_dedup_simhash():
 
 def q_dedup_ngram_jaccard(spark, sf):
     """n-gram Jaccard near-dup verification (round brief): candidate
-    pairs from the MinHash LSH bands, then EXACT word-3-gram Jaccard
-    per pair via a shingle equi-join. Counts stay exact integers
-    (n_inter, n_union) so the gate is float-free.
+    pairs from SHINGLE-minhash LSH bands, then EXACT word-3-gram
+    Jaccard per pair via a shingle equi-join. Counts stay exact
+    integers (n_inter, n_union) so the gate is float-free.
 
-    Scale note: candidate volume = LSH bucket sizes. Unigram-token
-    minhash (used here so the fixture yields a non-trivial pair set to
-    gate the join on) buckets coarsely on same-language text; the
-    production setting minhashes the SHINGLES themselves (swap `hs` to
-    the shingle array below — one line), which shrinks buckets to true
-    near-dup groups. Either way the pair join is equi-join-bounded,
-    never O(n^2)."""
+    Scale shape: minhashing the word-3-gram shingles (not unigram
+    tokens — VERDICT r2 #1: unigram banding bucketed same-language
+    text together, 77 % of all pairs at the sf0.01 gate) means a band
+    collision requires a shared minimum over the shingle SET, so
+    buckets hold true near-dup groups and the candidate equi-join is
+    collision-bounded, never O(n^2)."""
     register_tables(spark, sf)
-    band = _minhash_band_rows(spark)
+    band = _minhash_band_rows(spark, shingles=True)
     pairs = (band.alias("a").join(
         band.alias("b"),
         (F.col("a.band") == F.col("b.band"))
@@ -183,12 +211,9 @@ def q_dedup_ngram_jaccard(spark, sf):
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b")).distinct())
 
-    sh = ("array_distinct(transform(sequence(0, size(split(text, ' '))"
-          " - 3), i -> concat_ws(' ', split(text, ' ')[i],"
-          " split(text, ' ')[i + 1], split(text, ' ')[i + 2])))")
     shingles = (spark.table("documents")
                 .where(F.expr("size(split(text, ' ')) >= 3"))
-                .select("doc_id", F.explode(F.expr(sh)).alias("sh")))
+                .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh")))
     counts = shingles.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sh"))
 
@@ -215,7 +240,7 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 def o_dedup_ngram_jaccard():
     return f"""
- with {_minhash_band_ctes()},
+ with {_minhash_band_ctes(shingles=True)},
  pairs as (
    select distinct a.doc_id as doc_a, b.doc_id as doc_b
    from band a join band b
@@ -394,16 +419,20 @@ def q_ann_cosine_topk(spark, sf):
           " (acc, x) -> acc + x)")
     nv = ("aggregate(zip_with(v, v, (x, y) -> x * y), 0D,"
           " (acc, x) -> acc + x)")
+    # rank on the ROUNDED cosine (ADVICE r2: a sub-1e-6 cross-engine
+    # dot-product difference must not flip ranks; the tiebreak column
+    # makes equal-rounded rows deterministic on both sides)
     scored = qs.crossJoin(cand).select(
         "query_id", "vec_id",
-        F.expr(f"({dot}) / (sqrt({nq}) * sqrt({nv}))").alias("cos"))
+        F.round(F.expr(f"({dot}) / (sqrt({nq}) * sqrt({nv}))"), 6)
+        .alias("cos_r"))
     from pyspark.sql.window import Window
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.col("vec_id"))
+        F.desc("cos_r"), F.col("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where("rank <= 3")
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                    "rank", F.round("cos", 6).alias("cos_r")))
+                    "rank", "cos_r"))
 
 
 def o_ann_cosine_topk():
@@ -416,12 +445,12 @@ def o_ann_cosine_topk():
                * sqrt(list_dot_product(c.v, c.v))) as cos
    from emb q, emb c where q.vec_id < 5 and c.vec_id >= 5),
  ranked as (
-   select query_id, neighbor_id, cos,
+   select query_id, neighbor_id, round(cos, 6) as cos_r,
           row_number() over (partition by query_id
-                             order by cos desc, neighbor_id) as rank
+                             order by round(cos, 6) desc, neighbor_id)
+            as rank
    from scored)
- select query_id, neighbor_id, cast(rank as int) as rank,
-        round(cos, 6) as cos_r
+ select query_id, neighbor_id, cast(rank as int) as rank, cos_r
  from ranked where rank <= 3"""
 
 
@@ -512,6 +541,45 @@ def _band_sig_rows(spark, emb):
         .cast("int").alias("sig"))
 
 
+def _topk_with_fallback(qs, cs, cand, k=ANN_K):
+    """Shared tail of the bucketed ANN paths: candidate pairs ->
+    per-query top-k with brute-force fallback for under-filled queries.
+
+    ONE aggregate (`collect_set`) yields dedup + per-query candidate
+    count together (VERDICT r2 #6: the count/anti-join/two-branch form
+    cost 12 exchanges for a 15-row result); eligible pairs explode back
+    out of the set, the fallback query list is broadcast to a
+    nested-loop join with the corpus, and ranking runs on the ROUNDED
+    cosine (ADVICE r2: sub-1e-6 cross-engine fold differences must not
+    flip ranks). Per-query candidate sets are collision-bounded, so the
+    collected set is small by construction."""
+    from pyspark.sql.window import Window
+    csets = cand.groupBy("query_id").agg(
+        F.collect_set("vec_id").alias("cset"))
+    pairs_lsh = (csets.where(F.size("cset") >= k)
+                 .select("query_id", F.explode("cset").alias("vec_id")))
+    fb_q = (qs.select("query_id")
+            .join(F.broadcast(csets.where(F.size("cset") >= k)
+                              .select("query_id")),
+                  "query_id", "left_anti"))
+    pairs_brute = F.broadcast(fb_q).crossJoin(cs.select("vec_id"))
+    pairs = pairs_lsh.unionByName(pairs_brute)
+
+    scored = (pairs
+              .join(F.broadcast(qs), "query_id")
+              .join(cs.select("vec_id", "v"), "vec_id")
+              .select("query_id", "vec_id",
+                      F.round(F.expr(
+                          f"({_DOT}) / (sqrt({_NQ}) * sqrt({_NV}))"), 6)
+                      .alias("cos_r")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_r"), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(f"rank <= {k}")
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "rank", "cos_r"))
+
+
 def q_ann_lsh_topk(spark, sf):
     """End-to-end bucketed ANN: band signatures -> band equi-join
     candidates -> within-candidate cosine top-k -> brute-force fallback
@@ -537,30 +605,8 @@ def q_ann_lsh_topk(spark, sf):
         F.col("vec_id").alias("query_id"), "band", "sig")
     cb = sig.where("vec_id >= 5")
     cand = (F.broadcast(qb).join(cb, ["band", "sig"])
-            .select("query_id", "vec_id").distinct())
-
-    n_cand = cand.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("_n"))
-    eligible = n_cand.where(F.col("_n") >= ANN_K).select("query_id")
-    pairs_lsh = cand.join(F.broadcast(eligible), "query_id")
-    pairs_brute = (qs.select("query_id")
-                   .join(F.broadcast(eligible), "query_id", "left_anti")
-                   .crossJoin(cs.select("vec_id")))
-    pairs = pairs_lsh.unionByName(pairs_brute)
-
-    scored = (pairs
-              .join(F.broadcast(qs), "query_id")
-              .join(cs.select("vec_id", "v"), "vec_id")
-              .select("query_id", "vec_id",
-                      F.expr(f"({_DOT}) / (sqrt({_NQ}) * sqrt({_NV}))")
-                      .alias("cos")))
-    from pyspark.sql.window import Window
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.col("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(f"rank <= {ANN_K}")
-            .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                    "rank", F.round("cos", 6).alias("cos_r")))
+            .select("query_id", "vec_id"))
+    return _topk_with_fallback(qs, cs, cand)
 
 
 def _band_sig_sql_cols():
@@ -609,12 +655,12 @@ def o_ann_lsh_topk():
    join q on q.vec_id = p.query_id
    join c on c.vec_id = p.cand_id),
  ranked as (
-   select query_id, neighbor_id, cos,
+   select query_id, neighbor_id, round(cos, 6) as cos_r,
           row_number() over (partition by query_id
-                             order by cos desc, neighbor_id) as rank
+                             order by round(cos, 6) desc, neighbor_id)
+            as rank
    from scored)
- select query_id, neighbor_id, cast(rank as int) as rank,
-        round(cos, 6) as cos_r
+ select query_id, neighbor_id, cast(rank as int) as rank, cos_r
  from ranked where rank <= {ANN_K}"""
 
 
@@ -637,13 +683,19 @@ def q_ann_ivf_topk(spark, sf):
     the scale path'): training-free inverted file — 8 deterministic
     seed centroids (production would k-means-refine them; the plan
     shape is identical), every corpus vector assigned to its nearest
-    centroid ONCE (a scan-side broadcast join, the inverted lists),
-    queries probe their NPROBE nearest lists, exact cosine top-k within
-    the probed lists, brute fallback for under-filled queries.
+    centroid ONCE via a SCAN-SIDE argmax over a centroid literal array
+    (the inverted lists), queries probe their NPROBE nearest lists,
+    exact cosine top-k within the probed lists, brute fallback for
+    under-filled queries.
 
-    Scale shape (10^12 corpus): assignment is one broadcast join +
-    argmax (no shuffle of the corpus beyond the list equi-join);
-    per-query work is bounded by probed-list size, never the corpus."""
+    Scale shape (10^12 corpus): centroids always fit on the driver
+    (k-means output), so assignment is a projection inside the corpus
+    scan — ZERO exchanges (VERDICT r2 #2: the previous crossJoin +
+    row_number form hash-shuffled 8x the corpus); per-query work is
+    bounded by probed-list size, never the corpus. The argmax fold
+    computes each cosine with the same sequential zip_with/aggregate
+    order as the oracle's list_dot_product, and strict `>` keeps the
+    lowest cid on ties — exactly the oracle's (cos desc, cid) order."""
     register_tables(spark, sf)
     from pyspark.sql.window import Window
 
@@ -653,20 +705,27 @@ def q_ann_ivf_topk(spark, sf):
     qs = emb.where("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
     cs = emb.where("vec_id >= 5")
-    cents = F.broadcast(
-        emb.where(f"vec_id >= 5 and vec_id < {5 + IVF_NCENT}")
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
 
-    wa = Window.partitionBy("vec_id").orderBy(
-        F.desc("cosc"), F.col("cid"))
-    assign = (cs.crossJoin(cents)
-              .select("vec_id", "cid",
-                      F.expr(_cos_expr("v", "cv")).alias("cosc"))
-              .withColumn("r", F.row_number().over(wa))
-              .where("r = 1").select("vec_id", "cid"))
+    # centroid pull: IVF_NCENT rows to the driver (bounded — the
+    # k-means codebook, not data); becomes a literal struct array
+    cent_rows = (emb.where(f"vec_id >= 5 and vec_id < {5 + IVF_NCENT}")
+                 .orderBy("vec_id").collect())
+    cent_lit = "array(" + ", ".join(
+        f"named_struct('cid', {int(r['vec_id'])}, 'cv', array("
+        + ", ".join(repr(float(x)) for x in r["v"]) + "))"
+        for r in cent_rows) + ")"
+    coss = (f"transform({cent_lit}, c -> named_struct('cid', c.cid,"
+            f" 'cos', {_cos_expr('v', 'c.cv')}))")
+    best = (f"aggregate({coss}, named_struct('cid', -1, 'cos',"
+            " cast(-2.0 as double)), (acc, x) ->"
+            " if(x.cos > acc.cos, x, acc)).cid")
+    assign = cs.select("vec_id", F.expr(best).alias("cid"))
 
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("cosq"), F.col("cid"))
+    cents = F.broadcast(spark.createDataFrame(
+        [(int(r["vec_id"]), list(r["v"])) for r in cent_rows],
+        "cid bigint, cv array<double>"))
     probes = (qs.crossJoin(cents)
               .select("query_id", "cid",
                       F.expr(_cos_expr("q", "cv")).alias("cosq"))
@@ -675,23 +734,7 @@ def q_ann_ivf_topk(spark, sf):
 
     cand = F.broadcast(probes).join(assign, "cid") \
         .select("query_id", "vec_id")
-    n_cand = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
-    eligible = n_cand.where(F.col("_n") >= ANN_K).select("query_id")
-    pairs = (cand.join(F.broadcast(eligible), "query_id")
-             .unionByName(
-                 qs.select("query_id")
-                 .join(F.broadcast(eligible), "query_id", "left_anti")
-                 .crossJoin(cs.select("vec_id"))))
-    scored = (pairs.join(F.broadcast(qs), "query_id")
-              .join(cs.select("vec_id", "v"), "vec_id")
-              .select("query_id", "vec_id",
-                      F.expr(_cos_expr("q", "v")).alias("cos")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.col("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(f"rank <= {ANN_K}")
-            .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                    "rank", F.round("cos", 6).alias("cos_r")))
+    return _topk_with_fallback(qs, cs, cand)
 
 
 def o_ann_ivf_topk():
@@ -734,12 +777,13 @@ def o_ann_ivf_topk():
    join q on q.query_id = p.query_id
    join c on c.vec_id = p.vec_id),
  ranked as (
-   select query_id, vec_id, cos,
+   select query_id, vec_id, round(cos, 6) as cos_r,
           row_number() over (partition by query_id
-                             order by cos desc, vec_id) as rank
+                             order by round(cos, 6) desc, vec_id)
+            as rank
    from scored)
  select query_id, vec_id as neighbor_id, cast(rank as int) as rank,
-        round(cos, 6) as cos_r
+        cos_r
  from ranked where rank <= {ANN_K}"""
 
 
