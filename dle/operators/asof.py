@@ -18,8 +18,18 @@ from pyspark.sql import DataFrame
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str, right_ts: str,
               direction: str = "backward") -> DataFrame:
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    """Directions (deterministic among equal right_ts values):
+
+    * ``backward`` — latest right with right_ts <= left_ts; among
+      equal right_ts the LAST row in (ts, payload) order wins.
+    * ``forward`` — earliest right with right_ts >= left_ts; among
+      equal right_ts the FIRST row in (ts, payload) order wins
+      (the mirror of backward's rule).
+    * ``nearest`` — whichever of the backward/forward matches has the
+      smaller |right_ts - left_ts|; exact ties resolve BACKWARD.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
     extra = [c for c in right.columns if c not in (on,)]
     schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}"
@@ -38,15 +48,30 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         # Sort by (ts, payload...) — not ts alone — so the row chosen
         # among equal right_ts values is deterministic regardless of
         # the incoming partition-dependent row order (cross-engine
-        # determinism rule; searchsorted picks the LAST among equals).
+        # determinism rule; backward picks the LAST among equals,
+        # forward the FIRST).
         cols = [right_ts] + [c for c in extra if c != right_ts]
         try:
             r = rpdf.sort_values(cols, kind="mergesort")
         except TypeError:  # unorderable payload type: ts-only order
             r = rpdf.sort_values(right_ts, kind="mergesort")
         rts = r[right_ts].to_numpy()
-        idx = np.searchsorted(rts, lpdf[left_ts].to_numpy(),
-                              side="right") - 1
+        lts = lpdf[left_ts].to_numpy()
+        bi = np.searchsorted(rts, lts, side="right") - 1
+        fi = np.searchsorted(rts, lts, side="left")
+        if direction == "backward":
+            idx = bi
+        elif direction == "forward":
+            idx = np.where(fi < len(rts), fi, -1)
+        else:  # nearest: tie -> backward
+            bd = np.where(bi >= 0,
+                          lts - rts[np.clip(bi, 0, None)], np.inf)
+            fd = np.where(fi < len(rts),
+                          rts[np.clip(fi, None, len(rts) - 1)] - lts,
+                          np.inf)
+            use_f = (fd < bd) & np.isfinite(fd)
+            idx = np.where(use_f, np.clip(fi, None, len(rts) - 1), bi)
+            idx = np.where(np.isfinite(np.minimum(bd, fd)), idx, -1)
         for c in extra:
             vals = r[c].to_numpy()
             col = np.where(idx >= 0, vals[np.clip(idx, 0, None)], None)

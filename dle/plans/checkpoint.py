@@ -20,6 +20,11 @@ from pathlib import Path
 from pyspark.sql import DataFrame, functions as F
 
 
+# manifest cell name marking "stage finished with zero output cells";
+# never collides with real cells (quadkeys / cell ids)
+STAGE_DONE = "__stage_done__"
+
+
 class Manifest:
     def __init__(self, root: str):
         self.root = Path(root)
@@ -97,7 +102,16 @@ def run_stage(spark, manifest: Manifest, stage: str, fingerprint: str,
     finally:
         conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     wall_ms = int(1000 * (time.perf_counter() - t0))
-    result = spark.read.parquet(str(out_dir))
+    try:
+        result = spark.read.parquet(str(out_dir))
+    except Exception:
+        # A ZERO-ROW stage writes no parquet part files at all (a
+        # partitionBy write of an empty frame emits nothing), so the
+        # read-back cannot infer a schema (ADVICE r2, medium). The
+        # build plan's schema IS the stage schema — return an empty
+        # frame with it and still record completion below, so resumes
+        # skip the layer instead of crashing on the same read.
+        result = spark.createDataFrame([], df.schema)
     # guard against partition-column type inference (quadkeys like
     # "000" must stay strings) under sessions we didn't configure
     result = result.withColumn(
@@ -112,6 +126,14 @@ def run_stage(spark, manifest: Manifest, stage: str, fingerprint: str,
              "fingerprint": fingerprint, "rows": counts.get(c, 0),
              "wall_ms": wall_ms, "status": "ok",
              "ts": int(time.time())} for c in new_cells]
+    if not recs and not done:
+        # stage completed with zero output cells: write a stage-level
+        # done marker so resumes see the stage as finished (rows=0)
+        # rather than recomputing it forever (ADVICE r2 low)
+        recs = [{"stage": stage, "cell": STAGE_DONE,
+                 "fingerprint": fingerprint, "rows": 0,
+                 "wall_ms": wall_ms, "status": "ok",
+                 "ts": int(time.time())}]
     if recs:
         manifest.append(stage, recs)
     return result

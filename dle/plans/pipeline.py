@@ -98,11 +98,18 @@ def process_vector(spark: SparkSession, sf_dir: str,
                            f"|orders={n_orders}|v2")
             for po in orders:
                 stage = f"precedence_{int(po):03d}"
-                if (not man.stale(stage, fingerprint)
-                        and man.rows(stage)):
-                    new_df = spark.read.parquet(
-                        f"{ckpt_root}/{stage}").withColumn(
-                        "cell", F.col("cell").cast("string"))
+                stage_rows = man.rows(stage)
+                if not man.stale(stage, fingerprint) and stage_rows:
+                    if sum(r.get("rows", 0) for r in stage_rows) == 0:
+                        # layer completed with zero output (fully
+                        # eclipsed by earlier layers — plausible at
+                        # 42-layer registry scale): nothing to reload,
+                        # nothing to union (ADVICE r2)
+                        new_df = None
+                    else:
+                        new_df = spark.read.parquet(
+                            f"{ckpt_root}/{stage}").withColumn(
+                            "cell", F.col("cell").cast("string"))
                 else:
                     src = agg_src.filter(F.col("process_order") == po)
                     new = insert_difference(acc, src)
@@ -112,7 +119,9 @@ def process_vector(spark: SparkSession, sf_dir: str,
                 # each stage commits ONLY its own layer's rows (O(L)
                 # total I/O, not O(L^2) cumulative rewrites); the
                 # accumulator is a union of flat parquet scans
-                acc = new_df if acc is None else acc.unionByName(new_df)
+                if new_df is not None:
+                    acc = new_df if acc is None else \
+                        acc.unionByName(new_df)
         designatedlands = acc
 
     # A7 planarize.

@@ -110,7 +110,10 @@ def q_raster_zonal_stats(spark, sf):
         F.concat(F.lit("desig_"),
                  F.lpad(F.col("value").cast("string"), 2, "0"))
         .alias("designation"),
-        "n_pixels", "sum_value")
+        "n_pixels",
+        # integer-valued doubles (|sum| << 2^53): exact cast at the
+        # comparison boundary
+        F.col("sum_value").cast("bigint").alias("sum_value"))
 
 
 def o_raster_zonal_stats():

@@ -1079,14 +1079,7 @@ def q_asof_click_purchase(spark, sf):
     """As-of join: for every purchase, the user's most recent prior
     click — via the engine's cogrouped merge_asof operator."""
     from .operators.asof import asof_join
-    register_tables(spark, sf)
-    ev = spark.table("events").select(
-        "event_id", "user_id", "event_type",
-        F.expr(_EPOCH_US).alias("ts_us"))
-    purchases = ev.where("event_type = 'purchase'").select(
-        "event_id", "user_id", "ts_us")
-    clicks = ev.where("event_type = 'click'").select(
-        "user_id", F.col("ts_us").alias("click_ts_us"))
+    purchases, clicks = _asof_inputs(spark, sf)
     out = asof_join(purchases, clicks, on="user_id",
                     left_ts="ts_us", right_ts="click_ts_us")
     return out.where(F.col("click_ts_us").isNotNull()).select(
@@ -1103,6 +1096,81 @@ def o_asof_click_purchase():
         max(c.click_ts_us) as click_ts_us
  from p join c on c.user_id = p.user_id and c.click_ts_us <= p.ts_us
  group by p.event_id, p.user_id, p.ts_us"""
+
+
+def _asof_inputs(spark, sf):
+    register_tables(spark, sf)
+    ev = spark.table("events").select(
+        "event_id", "user_id", "event_type",
+        F.expr(_EPOCH_US).alias("ts_us"))
+    purchases = ev.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts_us")
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", F.col("ts_us").alias("click_ts_us"))
+    return purchases, clicks
+
+
+def q_asof_click_forward(spark, sf):
+    """Forward as-of (VERDICT r2 #9): for every purchase, the user's
+    EARLIEST subsequent click — same cogrouped searchsorted operator,
+    direction='forward'."""
+    from .operators.asof import asof_join
+    purchases, clicks = _asof_inputs(spark, sf)
+    out = asof_join(purchases, clicks, on="user_id",
+                    left_ts="ts_us", right_ts="click_ts_us",
+                    direction="forward")
+    return out.where(F.col("click_ts_us").isNotNull()).select(
+        "event_id", "user_id", "ts_us", "click_ts_us")
+
+
+def o_asof_click_forward():
+    return """
+ with p as (select event_id, user_id, epoch_us(ts) as ts_us
+            from events where event_type = 'purchase'),
+ c as (select user_id, epoch_us(ts) as click_ts_us
+       from events where event_type = 'click')
+ select p.event_id, p.user_id, p.ts_us,
+        min(c.click_ts_us) as click_ts_us
+ from p join c on c.user_id = p.user_id and c.click_ts_us >= p.ts_us
+ group by p.event_id, p.user_id, p.ts_us"""
+
+
+def q_asof_click_nearest(spark, sf):
+    """Nearest as-of: the click closest in time to each purchase,
+    exact |delta| ties resolving backward (the operator's documented
+    rule — the oracle implements the identical tiebreak)."""
+    from .operators.asof import asof_join
+    purchases, clicks = _asof_inputs(spark, sf)
+    out = asof_join(purchases, clicks, on="user_id",
+                    left_ts="ts_us", right_ts="click_ts_us",
+                    direction="nearest")
+    return out.where(F.col("click_ts_us").isNotNull()).select(
+        "event_id", "user_id", "ts_us", "click_ts_us")
+
+
+def o_asof_click_nearest():
+    return """
+ with p as (select event_id, user_id, epoch_us(ts) as ts_us
+            from events where event_type = 'purchase'),
+ c as (select user_id, epoch_us(ts) as click_ts_us
+       from events where event_type = 'click'),
+ b as (select p.event_id, max(c.click_ts_us) as bts
+       from p join c on c.user_id = p.user_id
+                    and c.click_ts_us <= p.ts_us
+       group by p.event_id),
+ f as (select p.event_id, min(c.click_ts_us) as fts
+       from p join c on c.user_id = p.user_id
+                    and c.click_ts_us >= p.ts_us
+       group by p.event_id)
+ select p.event_id, p.user_id, p.ts_us,
+        case when b.bts is not null
+                  and (f.fts is null
+                       or (p.ts_us - b.bts) <= (f.fts - p.ts_us))
+             then b.bts else f.fts end as click_ts_us
+ from p
+ left join b on b.event_id = p.event_id
+ left join f on f.event_id = p.event_id
+ where b.bts is not null or f.fts is not null"""
 
 
 TEXT_QUERIES = {
@@ -1130,4 +1198,6 @@ TEXT_QUERIES = {
                               o_events_sliding_window),
     "events_sessions": (q_events_sessions, o_events_sessions),
     "asof_click_purchase": (q_asof_click_purchase, o_asof_click_purchase),
+    "asof_click_forward": (q_asof_click_forward, o_asof_click_forward),
+    "asof_click_nearest": (q_asof_click_nearest, o_asof_click_nearest),
 }

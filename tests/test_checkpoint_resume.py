@@ -66,6 +66,63 @@ def test_run_stage_zero_row_cell_among_nonempty(spark, tmp_path):
     assert "002" in done
 
 
+def test_run_stage_zero_row_stage_no_crash(spark, tmp_path):
+    """ADVICE r2 (medium): a stage with ZERO output rows writes no
+    parquet part files; run_stage must not crash on the read-back,
+    must return an empty frame with the build schema, and must record
+    the stage as done so resumes skip it."""
+    man = Manifest(str(tmp_path / "m"))
+    empty = _input(spark).where("v > 99")
+    out = run_stage(spark, man, "s", "fp", lambda skip: empty,
+                    str(tmp_path / "o"))
+    assert out.count() == 0
+    assert set(out.columns) == {"cell", "v"}
+    rows = man.rows("s")
+    assert rows and sum(r["rows"] for r in rows) == 0
+    # re-entry is also crash-free and does not duplicate the marker
+    out2 = run_stage(spark, man, "s", "fp", lambda skip: empty,
+                     str(tmp_path / "o"))
+    assert out2.count() == 0
+    assert len(man.rows("s")) == len(rows)
+
+
+def test_precedence_loop_skips_zero_output_layer(spark, tmp_path,
+                                                 monkeypatch):
+    """A layer fully eclipsed by earlier layers (plausible at 42-layer
+    registry scale) must not abort the ckpt loop, and a resume must
+    skip it without recomputation (ADVICE r2 medium + low)."""
+    ckpt = str(tmp_path / "ck")
+    real = pipeline.insert_difference
+    calls = {"n": 0}
+
+    def eclipse(existing, src, **kw):
+        calls["n"] += 1
+        po = src.select("process_order").first()["process_order"]
+        out = real(existing, src, **kw)
+        return out.where(F.lit(False)) if int(po) == 3 else out
+
+    monkeypatch.setattr(pipeline, "insert_difference", eclipse)
+    first = pipeline.process_vector(spark, SF, depth=2, ckpt_root=ckpt)
+    desigs1 = {r["designation"] for r in
+               first.designatedlands.select("designation")
+               .distinct().collect()}
+    assert "desig_03" not in desigs1
+    man = Manifest(f"{ckpt}/manifest")
+    assert man.rows("precedence_003")
+    assert sum(r["rows"] for r in man.rows("precedence_003")) == 0
+
+    # resume: every layer (incl. the empty one) loads from manifest —
+    # insert_difference is never called again
+    n_before = calls["n"]
+    resumed = pipeline.process_vector(spark, SF, depth=2,
+                                      ckpt_root=ckpt)
+    desigs2 = {r["designation"] for r in
+               resumed.designatedlands.select("designation")
+               .distinct().collect()}
+    assert calls["n"] == n_before
+    assert desigs2 == desigs1
+
+
 def test_precedence_loop_resumes_after_kill(spark, tmp_path,
                                             monkeypatch):
     """Kill the Manifest-backed precedence loop mid-way; a rerun
@@ -140,3 +197,29 @@ def test_asof_join_deterministic_on_ts_ties(spark):
     b = asof_join(left, r2.repartition(3), on="k", left_ts="lts",
                   right_ts="rts").collect()
     assert a[0]["p"] == b[0]["p"] == "z"
+
+
+def test_asof_join_forward_and_nearest(spark):
+    """VERDICT r2 #9: forward = earliest right >= left (FIRST among
+    equal ts), nearest = smaller |delta| with exact ties backward."""
+    from dle.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 201), (1, 400)], "k int, lts bigint")
+    right = spark.createDataFrame(
+        [(1, 90, "b1"), (1, 150, "f1a"), (1, 150, "f1b"), (1, 300, "x")],
+        "k int, rts bigint, p string")
+
+    fwd = {r["lts"]: (r["rts"], r["p"]) for r in asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        direction="forward").collect()}
+    assert fwd[100] == (150, "f1a")   # FIRST among equal rts
+    assert fwd[201] == (300, "x")
+    assert fwd[400] == (None, None)   # nothing after -> nulls
+
+    near = {r["lts"]: (r["rts"], r["p"]) for r in asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        direction="nearest").collect()}
+    assert near[100] == (90, "b1")    # |10| beats |50|
+    assert near[201] == (150, "f1b")  # |51| beats |99|; LAST among ==
+    assert near[400] == (300, "x")

@@ -23,6 +23,24 @@ def test_knn_ranks_are_dense_and_distance_sorted(spark):
         assert d2s == sorted(d2s), pt
 
 
+def test_knn_pruned_releases_persisted_topk(spark):
+    """VERDICT r2 #8: repeated knn_join_pruned calls must not
+    accumulate persisted storage — bounded at one frame, and
+    release_cache() empties it."""
+    from dle.operators import knn
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    knn.release_cache()
+    base = n_persisted()
+    for _ in range(2):
+        q.q_spatial_knn_pruned(spark, SF).count()
+        assert n_persisted() <= base + 1
+    knn.release_cache()
+    assert n_persisted() == base
+
+
 def test_cell_candidates_superset_of_local_topk(spark):
     """Scale-path pre-filter: if a point's true nearest neighbor lies
     within the cell ring, it must be in the candidate set."""

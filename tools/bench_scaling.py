@@ -29,6 +29,7 @@ Writes BENCH/BASELINE.md and prints one JSON line.
 from __future__ import annotations
 
 import json
+import re
 import subprocess
 import sys
 import time
@@ -190,11 +191,20 @@ def main():
                           "sf": sf_dir}))
     md = REPO / "BENCH" / "BASELINE.md"
     md.parent.mkdir(exist_ok=True)
-    # preserve sections other tools append (e.g. 42-layer parity)
+    # preserve sections other tools append (42-layer parity, hot-cell
+    # skew, anything future) — keep from the EARLIEST appended marker
+    # onward so a scaling rerun never silently drops one of them
+    # (ADVICE r2: anchoring on a single title deleted the skew section
+    # when it appeared alone)
     keep = ""
-    marker = "## 42-layer registry parity"
-    if md.exists() and marker in md.read_text():
-        keep = "\n" + marker + md.read_text().split(marker, 1)[1]
+    if md.exists():
+        text = md.read_text()
+        own = re.compile(r"^## local\[\d+\] vs local\[\d+\]")
+        cuts = [m.start() for m in re.finditer(r"^## .*$", text,
+                                               re.MULTILINE)
+                if not own.match(text[m.start():m.end()])]
+        if cuts:
+            keep = "\n" + text[min(cuts):]
     sections = []
     for n, n4, amp, eff, lo, hi in results:
         sections.append(
