@@ -130,14 +130,16 @@ def boundary_pieces(spark: SparkSession) -> DataFrame:
         rows, "cls string, process_order int, geom binary")
 
 
-def bands_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bands_1d(spark: SparkSession, sf_dir: str,
+             n_orders: int = 8) -> DataFrame:
     """Same-y-band overlapping intervals per designation: the engine
     dissolves them as real 2-D WKB polygons; the DuckDB oracle computes
     the same union area as 1-D interval islands (gate-checkable
     dissolve, SURVEY §5)."""
     sqlgen.register_tables(spark, sf_dir)
     df = spark.sql(
-        sqlgen.preamble("spark", pages=False, layers=False, bands=True)
+        sqlgen.preamble("spark", pages=False, layers=False, bands=True,
+                        n_orders=n_orders)
         + " select * from bands")
     to_wkb = F.pandas_udf(
         lambda x0, y0, x1, y1: pd.Series(

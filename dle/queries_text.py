@@ -919,6 +919,50 @@ def o_multimodal_pipeline_stats():
  from byk b left join fr on fr.kind = b.kind"""
 
 
+def q_multimodal_decode_stats(spark, sf):
+    """REAL media decode through the gate (VERDICT r2 #3): synth real
+    24bpp BMPs + PCM16 WAVs (with genuine BGR/bottom-up/padding and
+    RIFF-chunk layout), decode them with the pure-numpy decoders, and
+    aggregate decoded-content statistics per kind. kv_sum is
+    order-sensitive — a decoder that mishandles row flip, padding, or
+    channel order fails the hash even when the plain sum survives.
+    Oracle = the closed-form pixel/sample values summed relationally."""
+    from .operators.multimodal import decode_stats, synth_media_real
+    st = decode_stats(synth_media_real(spark, sf))
+    return st.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_units").alias("total_units"),
+        F.sum("v_sum").alias("v_sum"),
+        F.sum("kv_sum").alias("kv_sum"))
+
+
+def o_multimodal_decode_stats():
+    return """
+ with m as (
+   select doc_id, 'image' as kind,
+          (8 + doc_id % 16) * (8 + (doc_id * 3) % 16) * 3 as n,
+          (doc_id * 31) % 256 as s
+   from documents
+   union all
+   select doc_id, 'audio', 64 + doc_id % 256, 0 from documents),
+ u as (select m.doc_id, m.kind, m.n, m.s, g.k
+       from m, lateral (
+         select unnest(generate_series(0, m.n - 1)) as k) g),
+ v as (select kind, k,
+              case when kind = 'image' then (s + k) % 256
+                   else ((doc_id * 7919 + k * 104729) % 65536) - 32768
+              end as val
+       from u),
+ agg1 as (select kind, cast(count(*) as bigint) as n_rows,
+                 cast(sum(n) as bigint) as total_units
+          from m group by kind),
+ agg2 as (select kind, cast(sum(val) as bigint) as v_sum,
+                 cast(sum(k * val) as bigint) as kv_sum
+          from v group by kind)
+ select a1.kind, a1.n_rows, a1.total_units, a2.v_sum, a2.kv_sum
+ from agg1 a1 join agg2 a2 on a2.kind = a1.kind"""
+
+
 def q_multimodal_resize_stats(spark, sf):
     """Resize plumbing through the gate: aspect-preserving target dims
     + stride-downsampled payload sizes, per kind. The decode/resample
@@ -1193,6 +1237,8 @@ TEXT_QUERIES = {
                                   o_multimodal_pipeline_stats),
     "multimodal_resize_stats": (q_multimodal_resize_stats,
                                 o_multimodal_resize_stats),
+    "multimodal_decode_stats": (q_multimodal_decode_stats,
+                                o_multimodal_decode_stats),
     "events_window_stats": (q_events_window_stats, o_events_window_stats),
     "events_sliding_window": (q_events_sliding_window,
                               o_events_sliding_window),

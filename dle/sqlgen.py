@@ -142,13 +142,14 @@ layers as (
 )"""
 
 
-def bands_ctes(dialect: str) -> str:
+def bands_ctes(dialect: str, n_orders: int = 8) -> str:
     """CTEs ending in ``bands``: heavily-overlapping x-intervals inside
     disjoint y-bands, one band family per designation. The engine
     dissolves these as real 2-D polygons through the geometry kernel;
     the oracle computes the identical union area as 1-D interval
     islands (classic gaps-and-islands SQL) — a gate-checkable proof of
-    the dissolve operator (SURVEY §2 A2/F1)."""
+    the dissolve operator (SURVEY §2 A2/F1). ``n_orders`` = number of
+    precedence levels (42 = the reference's registry scale)."""
     return f"""
 _b0 as (
   select doc_id as feat_id,
@@ -159,9 +160,9 @@ _b1 as (select *, (s1 * 16807 + 13) % {M31} as s2 from _b0),
 _b2 as (select *, (s2 * 16807 + 19) % {M31} as s3 from _b1),
 bands as (
   select feat_id,
-         cast(feat_id % 8 as int) + 1 as process_order,
-         concat('desig_', lpad(cast(cast(feat_id % 8 as int) + 1 as string),
-                2, '0')) as designation,
+         cast(feat_id % {n_orders} as int) + 1 as process_order,
+         concat('desig_', lpad(cast(cast(feat_id % {n_orders} as int) + 1
+                as string), 2, '0')) as designation,
          cast(s3 % 16 as int) as band,
          cast({XMIN!r} as double) + (s1 % 1200000) + 0.5 as bx0,
          cast({YMIN!r} as double) + cast(s3 % 16 as int) * 80000 + 0.5 as by0,
@@ -179,7 +180,7 @@ def preamble(dialect: str, *, pages: bool = True, layers: bool = True,
     if layers:
         parts.append(layers_ctes(dialect, n_orders))
     if bands:
-        parts.append(bands_ctes(dialect))
+        parts.append(bands_ctes(dialect, n_orders))
     return "with " + ",".join(parts)
 
 

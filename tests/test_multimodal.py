@@ -30,12 +30,39 @@ def test_media_and_features(spark):
     assert a == b
 
 
-def test_decoder_is_explicit_stub(spark):
+def test_decoder_rejects_unknown_codec(spark):
+    """The fake-header synth_media payloads are NOT BMPs: the real
+    decoder must fail loudly, not return garbage."""
     media = synth_media(spark, SF).limit(1)
     with pytest.raises(Exception) as ei:
         extract_features(media, use_decoder=True).collect()
-    assert "NotImplementedError" in str(ei.value) or \
-        isinstance(ei.value, NotImplementedError)
+    assert "ValueError" in str(ei.value) or \
+        isinstance(ei.value, ValueError)
+
+
+def test_bmp_wav_decode_roundtrip():
+    """Pure-numpy BMP/WAV decode recovers the exact closed-form
+    content: BGR order, bottom-up rows, and 4-byte row padding all
+    undone (w=10 -> 30-byte rows padded to 32)."""
+    import numpy as np
+
+    from dle.operators.multimodal import (
+        _encode_bmp, _encode_wav, decode_audio, decode_image,
+    )
+    img = decode_image(_encode_bmp(7, 10, 5))
+    assert img.shape == (5, 10, 3) and img.dtype == np.uint8
+    expect = ((7 * 31 + np.arange(150)) % 256).reshape(5, 10, 3)
+    assert (img == expect).all()
+
+    au = decode_audio(_encode_wav(7, 100))
+    k = np.arange(100)
+    want = ((7 * 7919 + k * 104729) % 65536 - 32768).astype(np.int16)
+    assert (au == want).all()
+
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG----")
+    with pytest.raises(ValueError):
+        decode_audio(b"OggS----")
 
 
 def test_frame_sampling(spark):
