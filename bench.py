@@ -53,6 +53,14 @@ HEADLINE = [
     "ann_lsh_topk",
     "events_window_stats",
     "asof_click_purchase",
+    # r3 additions (keep appended so round-over-round common-query
+    # comparisons stay clean)
+    "dedup_ngram_jaccard",
+    "ann_ivf_topk",
+    "multimodal_decode_stats",
+    "raster_zonal_stats",
+    "overlay_precedence_area_42",
+    "asof_click_nearest",
 ]
 
 

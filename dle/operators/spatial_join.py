@@ -90,6 +90,40 @@ def pip_join_rects(points: DataFrame, rects: DataFrame, depth: int,
     return joined
 
 
+def pip_index_join(points: DataFrame, rects: DataFrame, depth: int,
+                   px: str = "px", py: str = "py",
+                   feat_cols: tuple[str, ...] = ("process_order",
+                                                 "feat_id"),
+                   ) -> DataFrame:
+    """IN-SCAN point-in-rectangle join: ZERO exchange of the point side
+    (VERDICT r2 #10 — the pair-emit + re-aggregate form hash-shuffled
+    every match row; at 10^12 points that exchange IS the job).
+
+    The dimension side becomes a broadcast cell -> array<struct(bbox,
+    attrs)> index (one tiny feature-side shuffle to group it); each
+    point takes one broadcast hash join on its single cell, then a
+    scan-side `filter()` keeps the containing features. Output = the
+    point row + `_feats` (array of containing-feature structs, empty
+    when the point is uncovered, null when its cell has no features) —
+    per-point aggregates (precedence argmin, restriction max, coverage
+    flags) fold over `_feats` in the same projection, so the whole
+    per-point pipeline is one map-side pass. Higher-order functions
+    are interpreted, not codegen — that trade buys removal of a
+    point-count-sized exchange (same reasoning as the minhash
+    signatures; see CLAUDE.md)."""
+    r = explode_rect_cells(
+        rects.select("x0", "y0", "x1", "y1", *feat_cols),
+        "x0", "y0", "x1", "y1", depth)
+    idx = r.groupBy("cell").agg(
+        F.collect_list(F.struct("x0", "y0", "x1", "y1", *feat_cols))
+        .alias("_cellfeats"))
+    p = with_point_cell(points, px, py, depth)
+    j = p.join(F.broadcast(idx), "cell")
+    contains = (f"filter(_cellfeats, f -> {px} >= f.x0 and {px} < f.x1"
+                f" and {py} >= f.y0 and {py} < f.y1)")
+    return j.withColumn("_feats", F.expr(contains)).drop("_cellfeats")
+
+
 def rect_rect_join(a: DataFrame, b: DataFrame, depth: int,
                    suffix: str = "_b",
                    broadcast_b: bool = True) -> DataFrame:

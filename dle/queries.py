@@ -19,8 +19,8 @@ from . import sqlgen
 from .cells import sql_point_cell, sql_quadkey
 from .config import DEFAULT_DEPTH, GRID_SIZE, XMIN, YMIN
 from .operators.spatial_join import (
-    explode_rect_cells, pip_join_rects, precedence_resolve,
-    restriction_max, with_point_cell,
+    explode_rect_cells, pip_index_join, pip_join_rects,
+    precedence_resolve, restriction_max, with_point_cell,
 )
 from .sqlgen import BX0, BX1, BY0, BY1, preamble, register_tables
 
@@ -71,12 +71,28 @@ def o_spatial_pip_join():
    on p.px >= l.x0 and p.px < l.x1 and p.py >= l.y0 and p.py < l.y1""")
 
 
+def _pip_folded(spark, sf):
+    """Covered points with their containing-feature array (_feats) via
+    the zero-point-shuffle broadcast-index join."""
+    pts = _points(spark, sf).select("page_id", "cand_i", "px", "py")
+    lay = _layers(spark, sf)
+    return pip_index_join(
+        pts, lay, D,
+        feat_cols=("process_order", "feat_id", "forest_restriction",
+                   "og_restriction", "mine_restriction"))
+
+
 def q_spatial_pip_precedence(spark, sf):
     """Designation-precedence winner per point (A5 point semantics):
-    the containing layer with MIN process_order claims the point."""
-    pairs = _pip_pairs(spark, sf)
-    won = pairs.groupBy("page_id", "cand_i").agg(
-        F.min("process_order").alias("process_order"))
+    the containing layer with MIN process_order claims the point.
+    IN-SCAN form: the argmin folds over the broadcast-index `_feats`
+    array inside the point scan — the only exchange left is the tiny
+    feature-side index groupBy (VERDICT r2 #10)."""
+    j = _pip_folded(spark, sf)
+    won = j.select(
+        "page_id", "cand_i",
+        F.expr("array_min(transform(_feats, f -> f.process_order))")
+        .alias("process_order")).where("process_order is not null")
     return won.select(
         "page_id", "cand_i", "process_order",
         F.concat(F.lit("desig_"),
@@ -97,8 +113,18 @@ def o_spatial_pip_precedence():
 
 def q_spatial_restriction_max(spark, sf):
     """Max restriction level per point across ALL covering layers — the
-    planarize (sort_desc(array_agg(r)))[1] semantics (F4)."""
-    return restriction_max(_pip_pairs(spark, sf), ["page_id", "cand_i"])
+    planarize (sort_desc(array_agg(r)))[1] semantics (F4). IN-SCAN
+    form: three array_max folds in the point scan, zero point-side
+    exchange (the groupBy-pairs form is still exercised through
+    operators.spatial_join.restriction_max in pytest)."""
+    j = _pip_folded(spark, sf)
+    maxes = [
+        F.expr(f"array_max(transform(_feats, f -> f.{c}))")
+        .alias(f"{c}_max")
+        for c in ("forest_restriction", "og_restriction",
+                  "mine_restriction")]
+    return (j.where(F.size("_feats") > 0)
+            .select("page_id", "cand_i", *maxes))
 
 
 def o_spatial_restriction_max():
@@ -114,9 +140,14 @@ def o_spatial_restriction_max():
 
 def q_spatial_rollup_counts(spark, sf):
     """Per-designation rollup of precedence-resolved points (F5/qa.sql
-    analogue): distinct pages + point count per winning designation."""
-    pairs = _pip_pairs(spark, sf)
-    won = precedence_resolve(pairs, ["page_id", "cand_i"])
+    analogue): distinct pages + point count per winning designation.
+    The per-point winner folds in the scan; the only point-data
+    exchange left is the partial-aggregated rollup itself."""
+    j = _pip_folded(spark, sf)
+    won = j.select(
+        "page_id",
+        F.expr("array_min(transform(_feats, f -> f.process_order))")
+        .alias("process_order")).where("process_order is not null")
     out = won.groupBy("process_order").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.countDistinct("page_id").alias("n_pages"))
@@ -225,8 +256,11 @@ def q_text_bytes_invariant(spark, sf):
     geocode -> cell join -> PIP path, re-join `text` by page key and
     hash it. The geometry stages never touch `text` (SURVEY §7: carry
     the key, re-join text at the end), so md5(text) must equal the
-    straight-from-source hash the oracle computes."""
-    pairs = _pip_pairs(spark, sf).select("page_id").distinct()
+    straight-from-source hash the oracle computes. Coverage tests fold
+    in the scan, so the distinct shuffle carries bare page_ids of
+    covered points only."""
+    pairs = (_pip_folded(spark, sf).where(F.size("_feats") > 0)
+             .select("page_id").distinct())
     pages = sqlgen.spark_view(spark, sf, "pages")
     out = pairs.join(pages, "page_id")
     return out.select("page_id", "url", F.md5("text").alias("text_md5"),
