@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..cells import cell_bounds
-from ..config import XMAX, XMIN, YMAX, YMIN, res_at
+from ..config import GRID_SIZE, XMAX, XMIN, YMAX, YMIN, res_at
 from ..geom import kernel as K
 from ..geom import wkb
 
@@ -171,13 +171,27 @@ def rat(registry: DataFrame) -> DataFrame:
 
 
 def write_raster(raster: DataFrame, path: str,
-                 registry: DataFrame | None = None) -> None:
+                 registry: DataFrame | None = None,
+                 geotiff: bool = False,
+                 plane: str = "designation") -> None:
     """B3 write: per-cell blocks as parquet partitioned by cell (the
-    COG-tiles analogue) + RAT sidecar."""
+    COG-tiles analogue) + RAT sidecar. ``geotiff=True`` additionally
+    writes the driver-side mosaic as a REAL georeferenced GeoTIFF
+    (sources/geotiff.py — the reference's designatedlands.tif,
+    designatedlands.py:956-991; final artifact, test scale)."""
     raster.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/blocks")
     if registry is not None:
         rat(registry).write.mode("overwrite").parquet(f"{path}/rat")
+    if geotiff:
+        from ..sources.geotiff import write_geotiff
+        m = mosaic(raster, plane)
+        if m.size:
+            res = GRID_SIZE / m.shape[0]
+            # mosaic row 0 is the SOUTH row (y grows upward): flip to
+            # the TIFF's north-up row order
+            write_geotiff(m[::-1], f"{path}/{plane}.tif",
+                          x0=XMIN, y_top=YMIN + GRID_SIZE, res=res)
 
 
 def mosaic(raster: DataFrame, plane: str = "designation") -> np.ndarray:
