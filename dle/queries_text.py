@@ -214,6 +214,14 @@ def q_dedup_ngram_jaccard(spark, sf):
     shingles = (spark.table("documents")
                 .where(F.expr("size(split(text, ' ')) >= 3"))
                 .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh")))
+    # verification cost must be bounded by CANDIDATE docs, not the
+    # corpus: semi-join the exploded shingles down to docs that appear
+    # in some candidate pair before any shuffle keyed by (doc, shingle)
+    cand_docs = (pairs.select(F.col("doc_a").alias("doc_id"))
+                 .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+                 .distinct())
+    shingles = shingles.join(F.broadcast(cand_docs), "doc_id",
+                             "left_semi")
     counts = shingles.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sh"))
 
