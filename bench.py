@@ -61,6 +61,7 @@ HEADLINE = [
     "raster_zonal_stats",
     "overlay_precedence_area_42",
     "asof_click_nearest",
+    "kmeans_centroids",
 ]
 
 

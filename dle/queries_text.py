@@ -795,6 +795,132 @@ def o_ann_ivf_topk():
  from ranked where rank <= {ANN_K}"""
 
 
+# Distributed k-means (Lloyd's) over the embedding corpus — the
+# training step the IVF docstring defers to. Determinism recipe:
+# vectors quantize to 1e6-scaled BIGINTs (exact, order-independent
+# sums), centroids are the raw per-cluster SUM vectors (cosine is
+# scale-invariant, so no mean division — and no float sums anywhere),
+# assignment is the same scan-side argmax fold as IVF. The oracle
+# unrolls both Lloyd iterations relationally in DuckDB.
+KM_K = 4
+KM_ITERS = 2
+KM_SCALE = 1000000
+KM_DIM = 64
+
+
+def q_kmeans_centroids(spark, sf):
+    """Distributed k-means training (similarity-search round brief —
+    'IVF ... as the scale path'; this is the codebook builder):
+    KM_ITERS Lloyd iterations, each = one zero-exchange scan-side
+    assignment (literal codebook argmax, exactly the IVF assignment
+    shape) + one map-side-combinable groupBy computing per-dimension
+    BIGINT sums. The driver collects only K centroid rows per
+    iteration (the MLlib k-means loop shape). Output: per cluster, the
+    final member count and two order-sensitive centroid checksums."""
+    register_tables(spark, sf)
+    emb = (spark.table("embeddings").where("vec_id >= 5")
+           .select("vec_id",
+                   F.expr(f"transform(embedding, x -> cast(round("
+                          f"cast(x as double) * {KM_SCALE}, 0)"
+                          " as bigint))").alias("qv"))
+           .withColumn("vd", F.expr(
+               "transform(qv, x -> cast(x as double))")))
+
+    seeds = emb.where(f"vec_id < {5 + KM_K}").orderBy("vec_id").collect()
+    cents = [(i, [int(v) for v in r["qv"]])
+             for i, r in enumerate(seeds)]
+    sizes = {cid: 0 for cid, _ in cents}
+    for _ in range(KM_ITERS):
+        lit = "array(" + ", ".join(
+            f"named_struct('cid', {cid}, 'cv', array("
+            + ", ".join(repr(float(c)) for c in cv) + "))"
+            for cid, cv in cents) + ")"
+        coss = (f"transform({lit}, c -> named_struct('cid', c.cid,"
+                f" 'cos', {_cos_expr('vd', 'c.cv')}))")
+        best = (f"aggregate({coss}, named_struct('cid', -1, 'cos',"
+                " cast(-2.0 as double)), (acc, x) ->"
+                " if(x.cos > acc.cos, x, acc)).cid")
+        assigned = emb.withColumn("cid", F.expr(best))
+        aggs = [F.sum(F.element_at("qv", d + 1)).alias(f"s{d}")
+                for d in range(KM_DIM)]
+        stats = assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n"), *aggs).collect()
+        by_cid = {int(r["cid"]): r for r in stats}
+        nxt = []
+        for cid, old in cents:
+            r = by_cid.get(cid)
+            if r is None:  # empty cluster keeps its centroid
+                nxt.append((cid, old))
+                sizes[cid] = 0
+            else:
+                nxt.append((cid, [int(r[f"s{d}"])
+                                  for d in range(KM_DIM)]))
+                sizes[cid] = int(r["n"])
+        cents = nxt
+
+    rows = [(cid, sizes[cid], sum(cv),
+             sum((d + 1) * c for d, c in enumerate(cv)))
+            for cid, cv in cents]
+    return spark.createDataFrame(
+        rows, "cid int, n_members bigint, csum bigint, wsum bigint")
+
+
+def o_kmeans_centroids():
+    dim, k = KM_DIM, KM_K
+
+    def cos(v, c):
+        return (f"list_dot_product({v}, {c}) / (sqrt(list_dot_product("
+                f"{v}, {v})) * sqrt(list_dot_product({c}, {c})))")
+
+    def assign(cname, aname):
+        return f"""{aname} as (
+   select vec_id, cid from (
+     select e.vec_id, c.cid,
+            row_number() over (partition by e.vec_id order by
+              {cos('e.vd', 'c.cv')} desc, c.cid) as r
+     from embd e, {cname} c) t where r = 1)"""
+
+    def sums(aname, sname):
+        terms = ", ".join(f"sum(e.qv[{d + 1}]) as s{d}"
+                          for d in range(dim))
+        return f"""{sname} as (
+   select a.cid, cast(count(*) as bigint) as n, {terms}
+   from {aname} a join embd e on e.vec_id = a.vec_id
+   group by a.cid)"""
+
+    def update(prev_q, sname, cname, qname):
+        # new centroid = per-dim sums; empty cluster keeps previous
+        cv = ", ".join(f"cast(coalesce(s.s{d}, p.q[{d + 1}]) as double)"
+                       for d in range(dim))
+        q = ", ".join(f"coalesce(s.s{d}, p.q[{d + 1}])"
+                      for d in range(dim))
+        return f"""{cname} as (
+   select p.cid, list_value({cv}) as cv, list_value({q}) as q
+   from {prev_q} p left join {sname} s on s.cid = p.cid)"""
+
+    csum = " + ".join(f"c.q[{d + 1}]" for d in range(dim))
+    wsum = " + ".join(f"{d + 1} * c.q[{d + 1}]" for d in range(dim))
+    return f"""
+ with emb as (
+   select vec_id, list_transform(embedding::DOUBLE[],
+          x -> cast(round(x * {KM_SCALE}, 0) as bigint)) as qv
+   from embeddings where vec_id >= 5),
+ embd as (select vec_id, qv, qv::DOUBLE[] as vd from emb),
+ c0 as (select cast(vec_id - 5 as int) as cid, qv::DOUBLE[] as cv,
+               qv as q
+        from emb where vec_id < {5 + k}),
+ {assign('c0', 'a1')},
+ {sums('a1', 's1')},
+ {update('c0', 's1', 'c1', 'q1')},
+ {assign('c1', 'a2')},
+ {sums('a2', 's2')},
+ {update('c1', 's2', 'c2', 'q2')}
+ select c.cid, cast(coalesce(s.n, 0) as bigint) as n_members,
+        cast({csum} as bigint) as csum,
+        cast({wsum} as bigint) as wsum
+ from c2 c left join s2 s on s.cid = c.cid"""
+
+
 def q_dedup_embedding_cosine(spark, sf):
     """Embedding-cosine near-dup (round brief): corpus-vs-corpus pairs
     whose LSH band signatures collide, kept when cosine >= 0.25.
@@ -1241,6 +1367,7 @@ TEXT_QUERIES = {
     "ann_lsh_buckets": (q_ann_lsh_buckets, o_ann_lsh_buckets),
     "ann_lsh_topk": (q_ann_lsh_topk, o_ann_lsh_topk),
     "ann_ivf_topk": (q_ann_ivf_topk, o_ann_ivf_topk),
+    "kmeans_centroids": (q_kmeans_centroids, o_kmeans_centroids),
     "multimodal_pipeline_stats": (q_multimodal_pipeline_stats,
                                   o_multimodal_pipeline_stats),
     "multimodal_resize_stats": (q_multimodal_resize_stats,
