@@ -62,6 +62,7 @@ HEADLINE = [
     "overlay_precedence_area_42",
     "asof_click_nearest",
     "kmeans_centroids",
+    "ann_ivf_trained_topk",
 ]
 
 

@@ -808,39 +808,46 @@ KM_SCALE = 1000000
 KM_DIM = 64
 
 
-def q_kmeans_centroids(spark, sf):
-    """Distributed k-means training (similarity-search round brief —
-    'IVF ... as the scale path'; this is the codebook builder):
-    KM_ITERS Lloyd iterations, each = one zero-exchange scan-side
-    assignment (literal codebook argmax, exactly the IVF assignment
-    shape) + one map-side-combinable groupBy computing per-dimension
-    BIGINT sums. The driver collects only K centroid rows per
-    iteration (the MLlib k-means loop shape). Output: per cluster, the
-    final member count and two order-sensitive centroid checksums."""
-    register_tables(spark, sf)
-    emb = (spark.table("embeddings").where("vec_id >= 5")
-           .select("vec_id",
-                   F.expr(f"transform(embedding, x -> cast(round("
-                          f"cast(x as double) * {KM_SCALE}, 0)"
-                          " as bigint))").alias("qv"))
-           .withColumn("vd", F.expr(
-               "transform(qv, x -> cast(x as double))")))
+def _quantized(spark, where: str):
+    """(vec_id, qv bigint-array, vd double-array) quantized vectors."""
+    return (spark.table("embeddings").where(where)
+            .select("vec_id",
+                    F.expr(f"transform(embedding, x -> cast(round("
+                           f"cast(x as double) * {KM_SCALE}, 0)"
+                           " as bigint))").alias("qv"))
+            .withColumn("vd", F.expr(
+                "transform(qv, x -> cast(x as double))")))
 
+
+def _cent_argmax(cents) -> str:
+    """Scan-side argmax-cid SQL expression over a literal codebook
+    (strict > keeps the lowest cid on exact ties — the oracle's
+    (cos desc, cid) order)."""
+    lit = "array(" + ", ".join(
+        f"named_struct('cid', {cid}, 'cv', array("
+        + ", ".join(repr(float(c)) for c in cv) + "))"
+        for cid, cv in cents) + ")"
+    coss = (f"transform({lit}, c -> named_struct('cid', c.cid,"
+            f" 'cos', {_cos_expr('vd', 'c.cv')}))")
+    return (f"aggregate({coss}, named_struct('cid', -1, 'cos',"
+            " cast(-2.0 as double)), (acc, x) ->"
+            " if(x.cos > acc.cos, x, acc)).cid")
+
+
+def _kmeans_train(spark, sf):
+    """KM_ITERS Lloyd iterations; returns (cents, sizes) where cents =
+    [(cid, bigint sum-vector)] and sizes = final member counts. Each
+    iteration: one zero-exchange scan-side assignment + one map-side-
+    combinable per-dim BIGINT sum groupBy; only K rows hit the driver
+    per pass (the MLlib k-means loop shape)."""
+    register_tables(spark, sf)
+    emb = _quantized(spark, "vec_id >= 5")
     seeds = emb.where(f"vec_id < {5 + KM_K}").orderBy("vec_id").collect()
     cents = [(i, [int(v) for v in r["qv"]])
              for i, r in enumerate(seeds)]
     sizes = {cid: 0 for cid, _ in cents}
     for _ in range(KM_ITERS):
-        lit = "array(" + ", ".join(
-            f"named_struct('cid', {cid}, 'cv', array("
-            + ", ".join(repr(float(c)) for c in cv) + "))"
-            for cid, cv in cents) + ")"
-        coss = (f"transform({lit}, c -> named_struct('cid', c.cid,"
-                f" 'cos', {_cos_expr('vd', 'c.cv')}))")
-        best = (f"aggregate({coss}, named_struct('cid', -1, 'cos',"
-                " cast(-2.0 as double)), (acc, x) ->"
-                " if(x.cos > acc.cos, x, acc)).cid")
-        assigned = emb.withColumn("cid", F.expr(best))
+        assigned = emb.withColumn("cid", F.expr(_cent_argmax(cents)))
         aggs = [F.sum(F.element_at("qv", d + 1)).alias(f"s{d}")
                 for d in range(KM_DIM)]
         stats = assigned.groupBy("cid").agg(
@@ -857,7 +864,15 @@ def q_kmeans_centroids(spark, sf):
                                   for d in range(KM_DIM)]))
                 sizes[cid] = int(r["n"])
         cents = nxt
+    return cents, sizes
 
+
+def q_kmeans_centroids(spark, sf):
+    """Distributed k-means training (similarity-search round brief —
+    'IVF ... as the scale path'; this is the codebook builder): see
+    _kmeans_train. Output: per cluster, the final member count and two
+    order-sensitive centroid checksums."""
+    cents, sizes = _kmeans_train(spark, sf)
     rows = [(cid, sizes[cid], sum(cv),
              sum((d + 1) * c for d, c in enumerate(cv)))
             for cid, cv in cents]
@@ -865,19 +880,22 @@ def q_kmeans_centroids(spark, sf):
         rows, "cid int, n_members bigint, csum bigint, wsum bigint")
 
 
-def o_kmeans_centroids():
-    dim, k = KM_DIM, KM_K
+def _o_cos(v, c):
+    return (f"list_dot_product({v}, {c}) / (sqrt(list_dot_product("
+            f"{v}, {v})) * sqrt(list_dot_product({c}, {c})))")
 
-    def cos(v, c):
-        return (f"list_dot_product({v}, {c}) / (sqrt(list_dot_product("
-                f"{v}, {v})) * sqrt(list_dot_product({c}, {c})))")
+
+def _kmeans_ctes():
+    """DuckDB CTE chain `emb, embd, c0, a1, s1, c1, a2, s2, c2` — the
+    fully unrolled oracle twin of _kmeans_train (KM_ITERS = 2)."""
+    dim, k = KM_DIM, KM_K
 
     def assign(cname, aname):
         return f"""{aname} as (
    select vec_id, cid from (
      select e.vec_id, c.cid,
             row_number() over (partition by e.vec_id order by
-              {cos('e.vd', 'c.cv')} desc, c.cid) as r
+              {_o_cos('e.vd', 'c.cv')} desc, c.cid) as r
      from embd e, {cname} c) t where r = 1)"""
 
     def sums(aname, sname):
@@ -888,7 +906,7 @@ def o_kmeans_centroids():
    from {aname} a join embd e on e.vec_id = a.vec_id
    group by a.cid)"""
 
-    def update(prev_q, sname, cname, qname):
+    def update(prev, sname, cname):
         # new centroid = per-dim sums; empty cluster keeps previous
         cv = ", ".join(f"cast(coalesce(s.s{d}, p.q[{d + 1}]) as double)"
                        for d in range(dim))
@@ -896,12 +914,9 @@ def o_kmeans_centroids():
                       for d in range(dim))
         return f"""{cname} as (
    select p.cid, list_value({cv}) as cv, list_value({q}) as q
-   from {prev_q} p left join {sname} s on s.cid = p.cid)"""
+   from {prev} p left join {sname} s on s.cid = p.cid)"""
 
-    csum = " + ".join(f"c.q[{d + 1}]" for d in range(dim))
-    wsum = " + ".join(f"{d + 1} * c.q[{d + 1}]" for d in range(dim))
-    return f"""
- with emb as (
+    return f"""emb as (
    select vec_id, list_transform(embedding::DOUBLE[],
           x -> cast(round(x * {KM_SCALE}, 0) as bigint)) as qv
    from embeddings where vec_id >= 5),
@@ -911,14 +926,114 @@ def o_kmeans_centroids():
         from emb where vec_id < {5 + k}),
  {assign('c0', 'a1')},
  {sums('a1', 's1')},
- {update('c0', 's1', 'c1', 'q1')},
+ {update('c0', 's1', 'c1')},
  {assign('c1', 'a2')},
  {sums('a2', 's2')},
- {update('c1', 's2', 'c2', 'q2')}
+ {update('c1', 's2', 'c2')}"""
+
+
+def o_kmeans_centroids():
+    dim = KM_DIM
+    csum = " + ".join(f"c.q[{d + 1}]" for d in range(dim))
+    wsum = " + ".join(f"{d + 1} * c.q[{d + 1}]" for d in range(dim))
+    return f"""
+ with {_kmeans_ctes()}
  select c.cid, cast(coalesce(s.n, 0) as bigint) as n_members,
         cast({csum} as bigint) as csum,
         cast({wsum} as bigint) as wsum
  from c2 c left join s2 s on s.cid = c.cid"""
+
+
+def q_ann_ivf_trained_topk(spark, sf):
+    """END-TO-END trained IVF: k-means codebook (_kmeans_train) ->
+    scan-side inverted-list assignment of the corpus -> queries probe
+    their IVF_NPROBE nearest trained lists -> exact cosine top-k within
+    probed lists (original double vectors) -> brute fallback for
+    under-filled queries. The full scale path the round brief asks for:
+    training, list build, and probe are each either zero-exchange
+    scan work or K-row driver collects; the oracle replays training
+    AND search relationally in one DuckDB statement."""
+    cents, _ = _kmeans_train(spark, sf)
+    from pyspark.sql.window import Window
+
+    emb = spark.table("embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("v"))
+    qs = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
+    cs = emb.where("vec_id >= 5")
+
+    assign = (_quantized(spark, "vec_id >= 5")
+              .select("vec_id", F.expr(_cent_argmax(cents)).alias("cid")))
+
+    qq = _quantized(spark, "vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "vd")
+    cents_df = F.broadcast(spark.createDataFrame(
+        [(cid, [float(c) for c in cv]) for cid, cv in cents],
+        "cid int, cv array<double>"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cosq"), F.col("cid"))
+    probes = (qq.crossJoin(cents_df)
+              .select("query_id", "cid",
+                      F.expr(_cos_expr("vd", "cv")).alias("cosq"))
+              .withColumn("r", F.row_number().over(wq))
+              .where(f"r <= {IVF_NPROBE}").select("query_id", "cid"))
+
+    cand = F.broadcast(probes).join(assign, "cid") \
+        .select("query_id", "vec_id")
+    return _topk_with_fallback(qs, cs, cand)
+
+
+def o_ann_ivf_trained_topk():
+    return f"""
+ with {_kmeans_ctes()},
+ allv as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+ q as (select vec_id as query_id, v from allv where vec_id < 5),
+ c as (select vec_id, v from allv where vec_id >= 5),
+ qq as (select vec_id as query_id,
+               list_transform(embedding::DOUBLE[], x ->
+                 cast(round(x * {KM_SCALE}, 0) as bigint))::DOUBLE[]
+                 as vd
+        from embeddings where vec_id < 5),
+ assign as (
+   select vec_id, cid from (
+     select e.vec_id, k.cid,
+            row_number() over (partition by e.vec_id order by
+              {_o_cos('e.vd', 'k.cv')} desc, k.cid) as r
+     from embd e, c2 k) t where r = 1),
+ probes as (
+   select query_id, cid from (
+     select qq.query_id, k.cid,
+            row_number() over (partition by qq.query_id order by
+              {_o_cos('qq.vd', 'k.cv')} desc, k.cid) as r
+     from qq, c2 k) t where r <= {IVF_NPROBE}),
+ cand as (
+   select distinct p.query_id, a.vec_id
+   from probes p join assign a on a.cid = p.cid),
+ eligible as (
+   select query_id from cand group by query_id
+   having count(*) >= {ANN_K}),
+ pairs as (
+   select query_id, vec_id from cand
+   where query_id in (select query_id from eligible)
+   union all
+   select q.query_id, c.vec_id from q, c
+   where q.query_id not in (select query_id from eligible)),
+ scored as (
+   select p.query_id, p.vec_id,
+          {_o_cos('q.v', 'c.v')} as cos
+   from pairs p
+   join q on q.query_id = p.query_id
+   join c on c.vec_id = p.vec_id),
+ ranked as (
+   select query_id, vec_id, round(cos, 6) as cos_r,
+          row_number() over (partition by query_id
+                             order by round(cos, 6) desc, vec_id)
+            as rank
+   from scored)
+ select query_id, vec_id as neighbor_id, cast(rank as int) as rank,
+        cos_r
+ from ranked where rank <= {ANN_K}"""
 
 
 def q_dedup_embedding_cosine(spark, sf):
@@ -1368,6 +1483,8 @@ TEXT_QUERIES = {
     "ann_lsh_topk": (q_ann_lsh_topk, o_ann_lsh_topk),
     "ann_ivf_topk": (q_ann_ivf_topk, o_ann_ivf_topk),
     "kmeans_centroids": (q_kmeans_centroids, o_kmeans_centroids),
+    "ann_ivf_trained_topk": (q_ann_ivf_trained_topk,
+                             o_ann_ivf_trained_topk),
     "multimodal_pipeline_stats": (q_multimodal_pipeline_stats,
                                   o_multimodal_pipeline_stats),
     "multimodal_resize_stats": (q_multimodal_resize_stats,
