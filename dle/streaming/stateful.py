@@ -134,3 +134,34 @@ def stream_sessions(spark: SparkSession, src_dir: str,
     for r in rows:
         final[r["user_id"]] = r["n_sessions"]
     return final
+
+
+DOCS_STREAM_SCHEMA = "doc_id bigint, text string, ts timestamp"
+
+
+def stream_dedup_exact(spark: SparkSession, src_dir: str,
+                       checkpoint_dir: str, rows: list,
+                       watermark: str = "1 hour") -> None:
+    """STREAMING exact dedup (training-data ingest shape — the
+    streaming twin of q_dedup_exact): md5(text) keys deduplicated
+    across micro-batches AND across drains (state + source offsets
+    live in the checkpoint), with BOUNDED state —
+    dropDuplicatesWithinWatermark purges a key once the watermark
+    passes it, so at 100 TB/day the dedup state holds one watermark
+    window of keys, not the corpus. First occurrence wins and is
+    appended to `rows` (doc_id, text_md5) via foreachBatch."""
+    src = (spark.readStream.format("parquet")
+           .schema(DOCS_STREAM_SCHEMA).load(src_dir)
+           .withWatermark("ts", watermark)
+           .withColumn("text_md5", F.md5("text"))
+           .dropDuplicatesWithinWatermark(["text_md5"])
+           .select("doc_id", "text_md5"))
+
+    def sink(df, epoch_id):
+        rows.extend(df.collect())
+
+    q = (src.writeStream.outputMode("append")
+         .foreachBatch(sink)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

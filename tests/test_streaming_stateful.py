@@ -161,3 +161,42 @@ def test_stream_sessions_resume_incremental(spark, tmp_path):
     second = stream_sessions(spark, src, ck)
     for u in some:
         assert second[u] == first[u] + 1, u
+
+
+def test_stream_dedup_exact_cross_drain(spark, tmp_path):
+    """Streaming exact dedup: first occurrence wins within a drain AND
+    across drains (key state survives in the checkpoint); keys only
+    expire past the watermark (bounded state)."""
+    import datetime as dt
+
+    from dle.streaming.stateful import stream_dedup_exact
+
+    src = str(tmp_path / "docs_src")
+    ck = str(tmp_path / "ck_dedup")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # drain 1: A, B, and an in-batch duplicate of A
+    write([(1, "alpha", t0), (2, "beta", t0),
+           (3, "alpha", t0 + dt.timedelta(minutes=1))])
+    rows: list = []
+    stream_dedup_exact(spark, src, ck, rows)
+    got1 = {(r["doc_id"], r["text_md5"]) for r in rows}
+    assert {d for d, _ in got1} == {1, 2}
+
+    # drain 2: duplicate of B (same watermark window -> dropped by
+    # cross-drain state) plus a new doc C
+    write([(4, "beta", t0 + dt.timedelta(minutes=2)),
+           (5, "gamma", t0 + dt.timedelta(minutes=3))])
+    rows2: list = []
+    stream_dedup_exact(spark, src, ck, rows2)
+    assert {r["doc_id"] for r in rows2} == {5}
+
+    # batch twin agreement on the union: distinct md5 count matches
+    batch = (spark.read.parquet(src)
+             .select(F.md5("text").alias("m")).distinct().count())
+    assert batch == len(got1) + len(rows2)
