@@ -279,6 +279,73 @@ def o_dedup_ngram_jaccard():
  left join inter i on i.doc_a = p.doc_a and i.doc_b = p.doc_b"""
 
 
+KMV_K = 64
+_H60 = float(1 << 60)  # hash domain size (60-bit md5 prefix)
+
+
+def q_sketch_distinct_kmv(spark, sf):
+    """KMV (k-minimum-values) distinct-count sketch per language over
+    document tokens — the 'novel sketch' custom-operator slot of the
+    round brief. Unlike HLL, KMV is DETERMINISTIC (order statistics of
+    md5 hashes, no impl-defined buckets), so the estimate itself is
+    oracle-checkable bit-for-bit; it is also mergeable (k-min of a
+    union = k-min of the per-partition k-mins — proven in pytest),
+    which is what makes it a one-pass distributed sketch at 100 TB:
+    partial k-min sets combine map-side, only K values per group cross
+    the wire. Output: per lang, the sketch's kth minimum, the exact
+    estimate floor((K-1) * 2^60 / h_k) (or the exact count when the
+    group has < K distinct tokens), and the true distinct count for
+    reference."""
+    register_tables(spark, sf)
+    from pyspark.sql.window import Window
+    tok = spark.table("documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("tok"))
+    h = F.expr(
+        "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)")
+    dh = tok.select("lang", h.alias("h")).distinct()
+    w = Window.partitionBy("lang").orderBy("h")
+    kmin = (dh.withColumn("r", F.row_number().over(w))
+            .where(f"r <= {KMV_K}"))
+    agg = kmin.groupBy("lang").agg(
+        F.max("h").alias("kth_min"),
+        F.count(F.lit(1)).alias("n_in_sketch"))
+    exact = dh.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_distinct_true"))
+    est = F.when(
+        F.col("n_in_sketch") < KMV_K, F.col("n_in_sketch")
+    ).otherwise(F.expr(
+        f"cast(floor({KMV_K - 1}.0 * {_H60!r}"
+        " / cast(kth_min as double)) as bigint)"))
+    return (agg.join(exact, "lang")
+            .select("lang", "kth_min",
+                    est.cast("bigint").alias("est_distinct"),
+                    "n_distinct_true"))
+
+
+def o_sketch_distinct_kmv():
+    h = hex2int("tok", "duckdb")
+    return f"""
+ with tok as (
+   select lang, unnest(string_split(text, ' ')) as tok from documents),
+ dh as (select distinct lang, {h} as h from tok),
+ kmin as (
+   select lang, h,
+          row_number() over (partition by lang order by h) as r
+   from dh),
+ agg as (select lang, max(h) as kth_min,
+                cast(count(*) as bigint) as n_in_sketch
+         from kmin where r <= {KMV_K} group by lang),
+ exact as (select lang, cast(count(*) as bigint) as n_distinct_true
+           from dh group by lang)
+ select a.lang, a.kth_min,
+        cast(case when a.n_in_sketch < {KMV_K} then a.n_in_sketch
+             else cast(floor({KMV_K - 1}.0 * {_H60!r}
+                  / cast(a.kth_min as double)) as bigint)
+             end as bigint) as est_distinct,
+        e.n_distinct_true
+ from agg a join exact e on e.lang = a.lang"""
+
+
 def q_text_fingerprint(spark, sf):
     """n-gram/rolling-hash style doc fingerprint: min token hash +
     distinct token count."""
@@ -1475,6 +1542,7 @@ TEXT_QUERIES = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                o_dedup_embedding_cosine),
     "text_fingerprint": (q_text_fingerprint, o_text_fingerprint),
+    "sketch_distinct_kmv": (q_sketch_distinct_kmv, o_sketch_distinct_kmv),
     "text_stats": (q_text_stats, o_text_stats),
     "text_langid": (q_text_langid, o_text_langid),
     "text_bpe_tokens": (q_text_bpe_tokens, o_text_bpe_tokens),

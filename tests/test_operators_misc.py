@@ -183,3 +183,42 @@ def test_streaming_available_now(spark, tmp_path):
     acc2: list = []
     stream_cell_counts(spark, src, acc2, str(tmp_path / "ckpt"))
     assert sum(sum(d.values()) for d in acc2) == 0
+
+
+def test_kmv_sketch_merge_and_accuracy(spark):
+    """KMV mergeability (the property that makes it a one-pass
+    distributed sketch): the k-min set of a union equals the k-min of
+    the concatenated per-half k-min sets. Plus a sanity band on the
+    estimate for a group with >> K distinct tokens."""
+    from dle.queries_text import KMV_K, q_sketch_distinct_kmv
+
+    SF = "/root/testdata/sf0.001"
+    out = {r["lang"]: r for r in
+           q_sketch_distinct_kmv(spark, SF).collect()}
+    assert out
+
+    from dle.sqlgen import register_tables
+    register_tables(spark, SF)
+    tok = spark.table("documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("tok"))
+    h = F.expr("cast(conv(substring(md5(tok), 1, 15), 16, 10)"
+               " as bigint)")
+    dh = tok.select("lang", h.alias("h")).distinct()
+
+    for lang, r in out.items():
+        hs = sorted(x["h"] for x in
+                    dh.where(F.col("lang") == lang).collect())
+        true_n = len(hs)
+        assert r["n_distinct_true"] == true_n
+        # merge property: split hashes arbitrarily, sketch halves,
+        # merge -> identical kth_min
+        a, b = hs[::2], hs[1::2]
+        merged = sorted(sorted(a)[:KMV_K] + sorted(b)[:KMV_K])[:KMV_K]
+        full = hs[:KMV_K]
+        assert merged == full
+        if true_n >= KMV_K:
+            assert r["kth_min"] == full[-1]
+            # KMV relative error ~ 1/sqrt(K-1) ~ 12.6%; allow 4 sigma
+            assert abs(r["est_distinct"] - true_n) / true_n < 0.55
+        else:
+            assert r["est_distinct"] == true_n
