@@ -63,6 +63,8 @@ HEADLINE = [
     "asof_click_nearest",
     "kmeans_centroids",
     "ann_ivf_trained_topk",
+    "sketch_distinct_kmv",
+    "range_join_promos",
 ]
 
 

@@ -1533,6 +1533,44 @@ def o_asof_click_nearest():
  where b.bts is not null or f.fts is not null"""
 
 
+def q_range_join_promos(spark, sf):
+    """Range join through the bucket-equi-join operator: every
+    purchase joined to the same user's 2-hour 'promo windows' (one
+    window per click), counting overlapping windows per purchase.
+    Oracle = the naive BETWEEN theta-join."""
+    from .operators.ranges import range_join
+    register_tables(spark, sf)
+    ev = spark.table("events").select(
+        "event_id", "user_id", "event_type",
+        F.expr("cast(unix_timestamp(ts) as bigint)").alias("sec"))
+    purchases = ev.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "sec")
+    promos = ev.where("event_type = 'click'").select(
+        "user_id", F.col("sec").alias("w_start"),
+        (F.col("sec") + 7200).alias("w_end"))
+    j = range_join(purchases, promos, "sec", "w_start", "w_end",
+                   bucket=7200, on=["user_id"])
+    return j.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.min("w_start").alias("first_window_start"))
+
+
+def o_range_join_promos():
+    return """
+ with p as (select event_id, user_id,
+                   cast(floor(epoch(ts)) as bigint) as sec
+            from events where event_type = 'purchase'),
+ c as (select user_id, cast(floor(epoch(ts)) as bigint) as w_start,
+              cast(floor(epoch(ts)) as bigint) + 7200 as w_end
+       from events where event_type = 'click')
+ select p.event_id, p.user_id,
+        cast(count(*) as bigint) as n_windows,
+        min(c.w_start) as first_window_start
+ from p join c on c.user_id = p.user_id
+               and p.sec >= c.w_start and p.sec <= c.w_end
+ group by p.event_id, p.user_id"""
+
+
 TEXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, o_dedup_exact),
     "dedup_minhash_buckets": (q_dedup_minhash_buckets,
@@ -1566,4 +1604,5 @@ TEXT_QUERIES = {
     "asof_click_purchase": (q_asof_click_purchase, o_asof_click_purchase),
     "asof_click_forward": (q_asof_click_forward, o_asof_click_forward),
     "asof_click_nearest": (q_asof_click_nearest, o_asof_click_nearest),
+    "range_join_promos": (q_range_join_promos, o_range_join_promos),
 }

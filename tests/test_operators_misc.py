@@ -222,3 +222,27 @@ def test_kmv_sketch_merge_and_accuracy(spark):
             assert abs(r["est_distinct"] - true_n) / true_n < 0.55
         else:
             assert r["est_distinct"] == true_n
+
+
+def test_range_join_plan_has_no_cartesian(spark):
+    """The range join must plan as a hash equi-join on (bucket, keys)
+    with BETWEEN as a filter — never BroadcastNestedLoop/Cartesian."""
+    from dle.operators.ranges import range_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100)], "id bigint, k bigint, ts bigint")
+    right = spark.createDataFrame(
+        [(1, 50, 150)], "k bigint, s bigint, e bigint")
+    j = range_join(left, right, "ts", "s", "e", bucket=100, on=["k"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = j.collect()
+    assert len(rows) == 1 and rows[0]["id"] == 1
+    # boundary semantics: inclusive on both ends, single emission even
+    # when the interval spans multiple buckets
+    right2 = spark.createDataFrame(
+        [(1, 0, 1000)], "k bigint, s bigint, e bigint")
+    out = range_join(left, right2, "ts", "s", "e", bucket=100,
+                     on=["k"]).collect()
+    assert len(out) == 1
