@@ -68,17 +68,28 @@ HEADLINE = [
 ]
 
 
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+
 def run_suite(spark, sf_dir):
+    """Each query executes REPS times, min taken: the sandbox host is
+    shared, and single-shot timings swing 2-5x with ambient load
+    (measured; see BENCH/BASELINE.md variance note). min-of-2 keeps
+    the suite honest about engine cost without tripling wall time."""
     qs = q.queries()
     times = {}
     rows = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.perf_counter()
-        # count() forces full execution without driver-side collect cost
-        rows[name] = qs[name](spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(max(1, REPS)):
+            t0 = time.perf_counter()
+            # count() forces full execution w/o driver-side collect cost
+            rows[name] = qs[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
     return times, rows
 
 
@@ -110,6 +121,7 @@ def main():
         "docs_per_sec": round(docs / flag, 1) if flag else None,
         "rows": rows,
         "cpus": cpus,
+        "reps": REPS,
     }
     print(json.dumps(out))
 
