@@ -199,8 +199,14 @@ def register_tables(spark, sf_dir: str) -> None:
     defaultParallelism up front keeps the expensive generated columns
     parallel — at real scale inputs arrive in thousands of splits and
     this repartition is a no-op."""
+    from pathlib import Path
     par = spark.sparkContext.defaultParallelism
     for t in TABLES:
+        if not Path(f"{sf_dir}/{t}.parquet").exists():
+            # user-supplied dirs (jobs/) may carry only the tables a
+            # query family needs; a query touching a missing table
+            # still fails loudly at analysis
+            continue
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if t in ("orders", "lineitem", "events", "documents",
                  "embeddings") \

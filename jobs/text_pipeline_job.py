@@ -1,0 +1,79 @@
+"""spark-submit entry point for the training-data text pipeline —
+the round brief's end-to-end ingest shape composed from the gated
+operators: exact dedup (md5 keeper) -> near-dup pruning
+(shingle-minhash LSH candidates + exact 3-gram Jaccard >= threshold,
+keep the lowest doc_id of each near-dup pair) -> quality/language
+stats -> one curated parquet output.
+
+    python tools/make_pyfiles.py
+    spark-submit --master <cluster> --py-files dist/dle.zip \
+        jobs/text_pipeline_job.py <docs_dir> <out_dir> \
+        [jaccard_threshold_pct]
+
+Input: a directory holding `documents.parquet` (doc_id, text, lang —
+other engine tables are optional; missing ones are skipped). Output:
+parquet of surviving docs with quality_score, n_tokens, lang_pred —
+plus a one-line JSON funnel summary on stdout.
+
+Every stage is the same code the correctness gate checks
+(dle/queries_text.py); this file only composes them.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+
+def main():
+    if len(sys.argv) < 3:
+        sys.exit("usage: text_pipeline_job.py DOCS OUT_DIR [jacc_pct]")
+    docs_path, out_dir = sys.argv[1:3]
+    jacc_pct = int(sys.argv[3]) if len(sys.argv) > 3 else 80
+
+    spark = SparkSession.builder.appName("dle-text-pipeline") \
+        .getOrCreate()
+    from dle import queries_text as qt
+
+    docs = spark.read.parquet(f"{docs_path}/documents.parquet")
+    n_in = docs.count()
+
+    # 1) exact dedup: keep the min doc_id per md5(text)
+    keep_exact = (docs.groupBy(F.md5("text").alias("m"))
+                  .agg(F.min("doc_id").alias("doc_id"))
+                  .select("doc_id"))
+
+    # 2) near-dup prune: among verified near-dup pairs (exact 3-gram
+    # Jaccard >= threshold on shingle-minhash candidates), drop the
+    # higher doc_id. Integer threshold math: 100*inter >= pct*union.
+    jac = qt.q_dedup_ngram_jaccard(spark, docs_path)
+    near = jac.where(100 * F.col("n_inter")
+                     >= jacc_pct * F.col("n_union"))
+    drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = (keep_exact.join(drop, "doc_id", "left_anti"))
+
+    # 3) stats on survivors only (re-join by key; text never entered
+    # the dedup shuffles beyond hashing — byte-identity discipline)
+    stats = qt.q_text_stats(spark, docs_path).select(
+        "doc_id", "n_tokens", "quality_score")
+    lang = qt.q_text_langid(spark, docs_path).select(
+        "doc_id", "lang_pred")
+    out = (docs.join(F.broadcast(survivors), "doc_id")
+           .join(stats, "doc_id").join(lang, "doc_id"))
+    out.write.mode("overwrite").parquet(out_dir)
+
+    n_exact = keep_exact.count()
+    n_out = spark.read.parquet(out_dir).count()
+    print(json.dumps({
+        "docs_in": n_in, "after_exact_dedup": n_exact,
+        "near_dup_dropped": n_exact - n_out, "docs_out": n_out,
+        "jaccard_threshold_pct": jacc_pct, "out": out_dir}))
+
+
+if __name__ == "__main__":
+    main()
