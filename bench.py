@@ -65,6 +65,11 @@ HEADLINE = [
     "ann_ivf_trained_topk",
     "sketch_distinct_kmv",
     "range_join_promos",
+    "pages_host_rollup",
+    "pages_split_assign",
+    "text_repetition",
+    "dedup_chunk_shared",
+    "vocab_topk",
 ]
 
 

@@ -447,6 +447,7 @@ def o_rel_top_orders_per_cust():
 from .queries_kernel import KERNEL_QUERIES  # noqa: E402
 from .queries_raster import RASTER_QUERIES  # noqa: E402
 from .queries_text import TEXT_QUERIES  # noqa: E402
+from .queries_web import WEB_QUERIES  # noqa: E402
 
 QUERIES = {
     "spatial_cell_assign": (q_spatial_cell_assign, o_spatial_cell_assign),
@@ -475,6 +476,7 @@ QUERIES = {
                                 o_rel_top_orders_per_cust),
     **KERNEL_QUERIES,
     **TEXT_QUERIES,
+    **WEB_QUERIES,
     **RASTER_QUERIES,
 }
 

@@ -1,0 +1,257 @@
+"""Web-corpus curation operators over the Common-Crawl-style ``pages``
+table and ``documents`` (round brief: "the operations a large-scale
+training-data pipeline would need") — host-level rollups, deterministic
+train/val/test splits, Gopher-style repetition quality signals,
+cross-document duplicated-chunk detection, and tokenizer-vocabulary
+top-k. Each has a DuckDB oracle twin.
+
+Cross-engine conventions follow dle/sqlgen.py: md5 is the only string
+hash, token = single space split, integer sums before division,
+HALF_UP rounding via floor(x + 0.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .sqlgen import preamble, register_tables
+
+
+# ------------------------------------------------------- host rollup
+
+def q_pages_host_rollup(spark, sf):
+    """Per-host corpus accounting (the crawl-curation "domain table"):
+    page count, distinct languages, total text bytes per host.
+
+    Scale shape: host parse is a scan-side split; the aggregate keys on
+    host (cardinality ~= registrable domains, millions at 100 TB) with
+    map-side partial aggregation — one bounded shuffle."""
+    from . import sqlgen
+    pages = sqlgen.spark_view(spark, sf, "pages")
+    return (pages
+            .select(F.expr("split(url, '/')[2]").alias("host"),
+                    "lang", F.length("text").alias("n_chars"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
+def o_pages_host_rollup():
+    return (preamble("duckdb", layers=False) + """
+ select string_split(url, '/')[3] as host,
+        cast(count(*) as bigint) as n_pages,
+        cast(count(distinct lang) as bigint) as n_langs,
+        cast(sum(length(text)) as bigint) as sum_chars
+ from pages group by 1""")
+
+
+# ---------------------------------------------- train/val/test split
+
+def q_pages_split_assign(spark, sf):
+    """Deterministic hash split of the corpus into train/val/test
+    (80/10/10 on the url hash already carried by ``pages``) with
+    per-(split, lang) page and char budgets — the reproducible-split
+    primitive every training pipeline needs (same url always lands in
+    the same split, on any cluster size, with no RNG state).
+
+    Scale shape: pure scan-side arithmetic + a 15-group aggregate."""
+    from . import sqlgen
+    pages = sqlgen.spark_view(spark, sf, "pages")
+    split = F.expr("case when h64 % 10 < 8 then 'train'"
+                   " when h64 % 10 = 8 then 'val' else 'test' end")
+    return (pages
+            .select(split.alias("split"), "lang",
+                    F.length("text").alias("n_chars"))
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
+def o_pages_split_assign():
+    return (preamble("duckdb", layers=False) + """
+ select case when h64 % 10 < 8 then 'train'
+             when h64 % 10 = 8 then 'val' else 'test' end as split,
+        lang,
+        cast(count(*) as bigint) as n_pages,
+        cast(sum(length(text)) as bigint) as sum_chars
+ from pages group by 1, 2""")
+
+
+# ------------------------------------- repetition quality (Gopher-ish)
+
+def _run_fold(arr_expr: str) -> str:
+    """Longest equal-run length in a SORTED string array, as a single
+    Spark HOF ``aggregate`` fold — the per-doc mode-count (most frequent
+    element count) with ZERO shuffle: sort + fold both evaluate inside
+    the scan stage.  ``<=>`` is null-safe so the first element
+    (prev = null) starts a run of 1."""
+    return (f"aggregate(array_sort({arr_expr}),"
+            " named_struct('prev', cast(null as string),"
+            " 'run', 0, 'best', 0),"
+            " (acc, x) -> named_struct("
+            "   'prev', x,"
+            "   'run', if(acc.prev <=> x, acc.run + 1, 1),"
+            "   'best', greatest(acc.best,"
+            "           if(acc.prev <=> x, acc.run + 1, 1))),"
+            " acc -> cast(acc.best as bigint))")
+
+
+_BIGRAMS = ("transform(sequence(0, size(split(text, ' ')) - 2),"
+            " i -> concat_ws(' ', split(text, ' ')[i],"
+            " split(text, ' ')[i + 1]))")
+
+
+def q_text_repetition(spark, sf):
+    """Gopher-style repetition signals per document: token count,
+    distinct-token count, duplicate-token fraction (centi-units,
+    HALF_UP), most-frequent-token count, most-frequent-bigram count.
+    High top_token_n / top_bigram_n relative to n_tokens flags the
+    boilerplate/spam pages a curation pipeline drops.
+
+    Scale shape: everything is a scan-side HOF fold over the token
+    array (mode-count = longest run in the sorted array) — no explode,
+    no shuffle, whole query pipelines in one stage. The oracle computes
+    the same numbers relationally (unnest + group by + max(count))."""
+    register_tables(spark, sf)
+    docs = spark.table("documents").where("size(split(text, ' ')) >= 2")
+    n_tok = F.expr("size(split(text, ' '))")
+    n_dis = F.expr("size(array_distinct(split(text, ' ')))")
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_dis.cast("bigint").alias("n_distinct"),
+        # floor(x + .5) = HALF_UP (repo determinism rule)
+        F.floor(100.0 * (n_tok - n_dis) / n_tok + F.lit(0.5))
+        .cast("bigint").alias("dup_frac_c"),
+        F.expr(_run_fold("split(text, ' ')")).alias("top_token_n"),
+        F.expr(_run_fold(_BIGRAMS)).alias("top_bigram_n"))
+
+
+def o_text_repetition():
+    return """
+ with base as (
+   select doc_id, string_split(text, ' ') as ts from documents
+   where len(string_split(text, ' ')) >= 2),
+ tok as (
+   select doc_id, unnest(ts) as tok from base),
+ tokc as (
+   select doc_id, max(n) as top_token_n from (
+     select doc_id, tok, count(*) as n from tok group by 1, 2)
+   group by 1),
+ big as (
+   select b.doc_id, concat(b.ts[i], ' ', b.ts[i + 1]) as bg
+   from base b, lateral (
+     select unnest(generate_series(1, len(b.ts) - 1)) as i)),
+ bigc as (
+   select doc_id, max(n) as top_bigram_n from (
+     select doc_id, bg, count(*) as n from big group by 1, 2)
+   group by 1),
+ stats as (
+   select doc_id, cast(len(ts) as bigint) as n_tokens,
+          cast(len(list_distinct(ts)) as bigint) as n_distinct
+   from base)
+ select s.doc_id, s.n_tokens, s.n_distinct,
+        cast(floor(100.0 * (s.n_tokens - s.n_distinct) / s.n_tokens
+                   + 0.5) as bigint) as dup_frac_c,
+        cast(t.top_token_n as bigint) as top_token_n,
+        cast(g.top_bigram_n as bigint) as top_bigram_n
+ from stats s
+ join tokc t on t.doc_id = s.doc_id
+ join bigc g on g.doc_id = s.doc_id"""
+
+
+# ------------------------------------------- cross-doc chunk dedup
+
+CHUNK_W = 8  # tokens per chunk (aligned, non-overlapping)
+
+
+def q_dedup_chunk_shared(spark, sf):
+    """Cross-document duplicated-chunk detection (the chunk-granular
+    analogue of exact substring dedup in training-data pipelines):
+    split every document into aligned 8-token chunks, hash each, and
+    report chunks that occur in >= 2 DISTINCT documents — the shared
+    boilerplate a pipeline would strip before training.
+
+    Scale shape: chunk build is a scan-side transform (no per-token
+    explode — one array op per doc), then explode + hash groupBy with
+    map-side partial aggregation; the >= 2-docs filter makes the result
+    set the duplicated tail, not the corpus."""
+    register_tables(spark, sf)
+    chunks = (f"transform(sequence(0, cast(floor((size(split(text, ' '))"
+              f" - 1) / {CHUNK_W}) as int)),"
+              f" i -> concat_ws(' ', slice(split(text, ' '),"
+              f" i * {CHUNK_W} + 1, {CHUNK_W})))")
+    return (spark.table("documents")
+            .select("doc_id", F.explode(F.expr(chunks)).alias("chunk"))
+            .groupBy(F.md5("chunk").alias("chunk_md5"))
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"),
+                 F.min("doc_id").alias("keeper_doc_id"))
+            .where(F.col("n_docs") >= 2))
+
+
+def o_dedup_chunk_shared():
+    w = CHUNK_W
+    return f"""
+ with base as (
+   select doc_id, string_split(text, ' ') as ts from documents),
+ chunk as (
+   select doc_id,
+          array_to_string(ts[i * {w} + 1 : i * {w} + {w}], ' ') as chunk
+   from base, lateral (
+     select unnest(generate_series(
+       0, cast(floor((len(ts) - 1) / {w}) as bigint))) as i))
+ select md5(chunk) as chunk_md5,
+        cast(count(distinct doc_id) as bigint) as n_docs,
+        cast(count(*) as bigint) as n_occurrences,
+        min(doc_id) as keeper_doc_id
+ from chunk group by 1 having count(distinct doc_id) >= 2"""
+
+
+# ------------------------------------------------ vocabulary top-k
+
+VOCAB_K = 50
+
+
+def q_vocab_topk(spark, sf):
+    """Global token-vocabulary top-50 by corpus frequency (tokenizer
+    training's first pass), deterministic tiebreak (count desc, token
+    asc).
+
+    Scale shape: explode + groupBy reduces to vocab cardinality with
+    map-side combine; the global top-k then uses orderBy + limit, which
+    Spark plans as TakeOrderedAndProject — each partition keeps only
+    its local top-50 and the driver merges K*P rows, so the full vocab
+    is never shuffled to one task. Ranks attach afterwards on 50 rows."""
+    register_tables(spark, sf)
+    from pyspark.sql.window import Window
+    counts = (spark.table("documents")
+              .select(F.explode(F.split("text", " ")).alias("tok"))
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    top = counts.orderBy(F.desc("n"), F.col("tok")).limit(VOCAB_K)
+    w = Window.orderBy(F.desc("n"), F.col("tok"))
+    return top.withColumn("rank", F.row_number().over(w)) \
+        .select("rank", "tok", "n")
+
+
+def o_vocab_topk():
+    return f"""
+ with tok as (
+   select unnest(string_split(text, ' ')) as tok from documents),
+ counts as (select tok, cast(count(*) as bigint) as n
+            from tok group by tok),
+ ranked as (
+   select tok, n, row_number() over (order by n desc, tok) as rank
+   from counts)
+ select cast(rank as int) as rank, tok, n
+ from ranked where rank <= {VOCAB_K}"""
+
+
+WEB_QUERIES = {
+    "pages_host_rollup": (q_pages_host_rollup, o_pages_host_rollup),
+    "pages_split_assign": (q_pages_split_assign, o_pages_split_assign),
+    "text_repetition": (q_text_repetition, o_text_repetition),
+    "dedup_chunk_shared": (q_dedup_chunk_shared, o_dedup_chunk_shared),
+    "vocab_topk": (q_vocab_topk, o_vocab_topk),
+}
