@@ -70,6 +70,9 @@ HEADLINE = [
     "text_repetition",
     "dedup_chunk_shared",
     "vocab_topk",
+    "pages_topk_per_host",
+    "spatial_cell_pyramid",
+    "pack_sequences",
 ]
 
 

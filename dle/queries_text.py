@@ -70,28 +70,37 @@ def _minhash_band_rows(spark, shingles: bool = False):
     toward all-pairs; shingle banding buckets true near-dups only).
     Docs with fewer than 3 tokens have no shingles and are excluded
     (they cannot be 3-gram near-dups of anything)."""
+    return minhash_bands_for(spark.table("documents"), shingles)
+
+
+def minhash_bands_for(df, shingles: bool = False):
+    """The band-row builder over ANY (doc_id, text, ...) DataFrame —
+    batch queries and the STREAMING near-dup twin share this exact
+    expression tree (streaming/stateful.py::stream_dedup_minhash), so
+    the two paths cannot compute different signatures. Extra columns
+    ride through untouched."""
+    extra = [c for c in df.columns if c not in ("doc_id", "text")]
     if shingles:
         units = _SHINGLES
-        base = spark.table("documents").where(
-            F.expr("size(split(text, ' ')) >= 3"))
+        base = df.where(F.expr("size(split(text, ' ')) >= 3"))
     else:
         units = "split(text, ' ')"
-        base = spark.table("documents")
+        base = df
     hs = (f"transform({units}, t -> cast(conv(substring(md5(t),"
           f" 1, 15), 16, 10) as bigint) % {M31})")
-    doc = base.select("doc_id", F.expr(hs).alias("hs"))
+    doc = base.select("doc_id", *extra, F.expr(hs).alias("hs"))
     mins = [F.expr(f"aggregate(hs, cast({M31} as bigint), (acc, h) -> "
                    f"least(acc, (h * {MINHASH_A[p]}L + {MINHASH_B[p]}L)"
                    f" % {M31}))").alias(f"mh{p}")
             for p in range(8)]
-    mh = doc.select("doc_id", *mins)
+    mh = doc.select("doc_id", *extra, *mins)
     entries = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.concat_ws("_", f"mh{2 * b}", f"mh{2 * b + 1}")
                  .alias("bucket"))
         for b in range(4)])
-    return (mh.select("doc_id", F.explode(entries).alias("e"))
-              .select("doc_id", F.col("e.band").alias("band"),
+    return (mh.select("doc_id", *extra, F.explode(entries).alias("e"))
+              .select("doc_id", *extra, F.col("e.band").alias("band"),
                       F.col("e.bucket").alias("bucket")))
 
 

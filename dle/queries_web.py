@@ -248,10 +248,140 @@ def o_vocab_topk():
  from ranked where rank <= {VOCAB_K}"""
 
 
+# ------------------------------------------- top-k pages per host
+
+HOST_K = 3
+
+
+def q_pages_topk_per_host(spark, sf):
+    """Best-pages-per-domain selection (the curation primitive behind
+    per-host quotas): keep the top 3 pages per host by text length,
+    deterministic tiebreak (n_chars desc, page_id asc).
+
+    Scale shape: one shuffle keyed by host; the window ranks within
+    host partitions (host cardinality >> executor count, no skew — a
+    single site's page count is bounded by crawl policy)."""
+    from pyspark.sql.window import Window
+    from . import sqlgen
+    pages = sqlgen.spark_view(spark, sf, "pages")
+    w = Window.partitionBy("host").orderBy(
+        F.desc("n_chars"), F.col("page_id"))
+    return (pages
+            .select(F.expr("split(url, '/')[2]").alias("host"),
+                    "page_id",
+                    F.length("text").cast("bigint").alias("n_chars"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(f"rank <= {HOST_K}"))
+
+
+def o_pages_topk_per_host():
+    return (preamble("duckdb", layers=False) + f"""
+ , ranked as (
+   select string_split(url, '/')[3] as host, page_id,
+          cast(length(text) as bigint) as n_chars,
+          row_number() over (partition by string_split(url, '/')[3]
+                             order by length(text) desc, page_id)
+            as rank
+   from pages)
+ select host, page_id, n_chars, cast(rank as int) as rank
+ from ranked where rank <= {HOST_K}""")
+
+
+# --------------------------------------------- tile pyramid rollup
+
+PYRAMID_DEPTHS = (2, 4, 6)
+
+
+def q_spatial_cell_pyramid(spark, sf):
+    """Multi-zoom tile pyramid of geocoded page points: point counts
+    per quadkey cell at depths 6, 4 and 2 (every tile server's
+    aggregation ladder; quadkey prefix = parent tile).
+
+    Scale shape: points aggregate ONCE at the finest depth (map-side
+    combined, one point-sized shuffle); coarser levels roll up from the
+    depth-6 aggregate — cell-count-sized inputs, not the corpus. The
+    prefix explode happens on the aggregate, so adding zoom levels
+    costs nothing at the point scan."""
+    from . import sqlgen
+    from .cells import sql_point_cell
+    from .config import DEFAULT_DEPTH
+    pts = sqlgen.spark_view(spark, sf, "points")
+    cell = sql_point_cell("px", "py", DEFAULT_DEPTH, "spark")
+    fine = (pts.select(F.expr(cell).alias("cell6"))
+            .groupBy("cell6").agg(F.count(F.lit(1)).alias("n")))
+    levels = F.array(*[
+        F.struct(F.lit(d).alias("depth"),
+                 F.expr(f"substring(cell6, 1, {d})").alias("cell"))
+        for d in PYRAMID_DEPTHS])
+    return (fine.select(F.explode(levels).alias("l"), "n")
+            .groupBy(F.col("l.depth").alias("depth"),
+                     F.col("l.cell").alias("cell"))
+            .agg(F.sum("n").alias("n_points")))
+
+
+def o_spatial_cell_pyramid():
+    from .cells import sql_point_cell
+    from .config import DEFAULT_DEPTH
+    cell = sql_point_cell("px", "py", DEFAULT_DEPTH, "duckdb")
+    per_depth = " union all ".join(
+        f"select cast({d} as int) as depth, substring(cell6, 1, {d})"
+        f" as cell, n from fine"
+        for d in PYRAMID_DEPTHS)
+    return (preamble("duckdb", layers=False) + f"""
+ , fine as (
+   select {cell} as cell6, cast(count(*) as bigint) as n
+   from points group by 1),
+ lv as ({per_depth})
+ select depth, cell, cast(sum(n) as bigint) as n_points
+ from lv group by 1, 2""")
+
+
+# ------------------------------------------------ sequence packing
+
+PACK_CAPACITY = 64
+
+
+def q_pack_sequences(spark, sf):
+    """LM sequence packing positions for every document (capacity-64
+    token sequences, corpus order = doc_id): exclusive prefix sum of
+    token counts -> starting sequence id + offset. Engine path is the
+    two-pass distributed scan in operators/packing.py (one range
+    exchange + Arrow cumsum; NO corpus-wide single-task window — the
+    oracle's `over (order by doc_id)` form is exactly the plan shape
+    the operator exists to avoid at 10^12 docs)."""
+    register_tables(spark, sf)
+    from .operators.packing import pack_sequences
+    docs = spark.table("documents").select(
+        "doc_id", F.expr("size(split(text, ' '))").alias("n_tok"))
+    return pack_sequences(docs, PACK_CAPACITY)
+
+
+def o_pack_sequences():
+    return f"""
+ with base as (
+   select doc_id,
+          cast(len(string_split(text, ' ')) as bigint) as n_tok
+   from documents),
+ cum as (
+   select doc_id, n_tok,
+          coalesce(sum(n_tok) over (order by doc_id
+            rows between unbounded preceding and 1 preceding), 0)
+            as cum_prev
+   from base)
+ select doc_id, n_tok, cast(cum_prev as bigint) as cum_prev,
+        cast(floor(cum_prev / {PACK_CAPACITY}) as bigint) as seq_id,
+        cast(cum_prev % {PACK_CAPACITY} as bigint) as offset_in_seq
+ from cum"""
+
+
 WEB_QUERIES = {
     "pages_host_rollup": (q_pages_host_rollup, o_pages_host_rollup),
     "pages_split_assign": (q_pages_split_assign, o_pages_split_assign),
     "text_repetition": (q_text_repetition, o_text_repetition),
     "dedup_chunk_shared": (q_dedup_chunk_shared, o_dedup_chunk_shared),
     "vocab_topk": (q_vocab_topk, o_vocab_topk),
+    "pages_topk_per_host": (q_pages_topk_per_host, o_pages_topk_per_host),
+    "spatial_cell_pyramid": (q_spatial_cell_pyramid,
+                             o_spatial_cell_pyramid),
+    "pack_sequences": (q_pack_sequences, o_pack_sequences),
 }

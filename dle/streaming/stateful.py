@@ -165,3 +165,57 @@ def stream_dedup_exact(spark: SparkSession, src_dir: str,
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def stream_dedup_minhash(spark: SparkSession, src_dir: str,
+                         checkpoint_dir: str, rows: list) -> None:
+    """STREAMING near-dup detection — the streaming twin of the gated
+    q_dedup_minhash_buckets: every arriving doc's MinHash band rows
+    (the SAME in-scan expression tree, queries_text.minhash_bands_for)
+    update per-(band, bucket) state via applyInPandasWithState; each
+    micro-batch emits the bucket's running (keeper_doc_id, n_docs).
+    The LAST update per key after a full drain equals the batch query
+    on the same input (proven cross-drain in tests).
+
+    State per bucket is two ints (keeper = min doc_id, n_docs) — at
+    100 TB the state size is the number of LIVE collision buckets, not
+    the corpus, and a TTL/watermark policy can bound it further.
+    Assumes upstream exact dedup (stream_dedup_exact) so a doc_id
+    arrives at a bucket at most once."""
+    from ..queries_text import minhash_bands_for
+
+    src = (spark.readStream.format("parquet")
+           .schema(DOCS_STREAM_SCHEMA).load(src_dir))
+    bands = minhash_bands_for(src.select("doc_id", "text"))
+
+    def fn(key, pdfs, state: GroupState):
+        docs = []
+        for pdf in pdfs:
+            docs.extend(pdf["doc_id"].tolist())
+        if state.exists:
+            keeper, n = state.get
+        else:
+            keeper, n = None, 0
+        keeper = min([int(d) for d in docs]
+                     + ([int(keeper)] if keeper is not None else []))
+        n += len(docs)
+        state.update((keeper, n))
+        yield pd.DataFrame({"band": [key[0]], "bucket": [key[1]],
+                            "keeper_doc_id": [keeper], "n_docs": [n]})
+
+    out = bands.groupBy("band", "bucket").applyInPandasWithState(
+        fn,
+        outputStructType=("band int, bucket string, "
+                          "keeper_doc_id bigint, n_docs bigint"),
+        stateStructType="keeper bigint, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+    def sink(df, epoch_id):
+        rows.extend(df.collect())
+
+    q = (out.writeStream.outputMode("update")
+         .foreachBatch(sink)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

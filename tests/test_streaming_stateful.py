@@ -200,3 +200,46 @@ def test_stream_dedup_exact_cross_drain(spark, tmp_path):
     batch = (spark.read.parquet(src)
              .select(F.md5("text").alias("m")).distinct().count())
     assert batch == len(got1) + len(rows2)
+
+
+def test_stream_dedup_minhash_cross_drain(spark, tmp_path):
+    """Streaming near-dup bucket state equals the batch
+    q_dedup_minhash_buckets result on the union input after two
+    drains (state + offsets resume from the checkpoint), using the
+    driver sf0.001 documents split into two halves."""
+    import datetime as dt
+
+    from dle.queries_text import minhash_bands_for
+    from dle.sqlgen import register_tables
+    from dle.streaming.stateful import stream_dedup_minhash
+
+    register_tables(spark, SF)
+    docs = (spark.table("documents").select("doc_id", "text")
+            .withColumn("ts", F.lit(
+                dt.datetime(2024, 1, 1)).cast("timestamp")))
+    src = str(tmp_path / "docs_src")
+    ck = str(tmp_path / "ck_mh")
+    docs.where("doc_id % 2 = 0").coalesce(1) \
+        .write.mode("append").parquet(src)
+    rows: list = []
+    stream_dedup_minhash(spark, src, ck, rows)
+    docs.where("doc_id % 2 = 1").coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream_dedup_minhash(spark, src, ck, rows)
+
+    # last update per (band, bucket) wins
+    final = {}
+    for r in rows:
+        final[(r["band"], r["bucket"])] = (r["keeper_doc_id"],
+                                           r["n_docs"])
+    multi = {k: v for k, v in final.items() if v[1] > 1}
+
+    batch = (minhash_bands_for(spark.table("documents")
+                               .select("doc_id", "text"))
+             .groupBy("band", "bucket")
+             .agg(F.min("doc_id").alias("keeper"),
+                  F.countDistinct("doc_id").alias("n"))
+             .where("n > 1").collect())
+    expect = {(r["band"], r["bucket"]): (r["keeper"], r["n"])
+              for r in batch}
+    assert multi == expect

@@ -29,6 +29,7 @@ Writes BENCH/BASELINE.md and prints one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import re
 import subprocess
 import sys
@@ -185,16 +186,40 @@ def main():
         n = int(sys.argv[2])
         amp = int(sys.argv[3]) if len(sys.argv) > 3 else 16
         pairs = [(n, 4 * n, amp)]
+    # The sandbox host is SHARED: co-tenant load has been measured to
+    # slow one whole leg ~2x uniformly across all three stages (JVM
+    # codegen, Arrow+numpy, raster alike), which min-of-4 WITHIN a
+    # leg cannot defend against. So the ladder runs ROUNDS independent
+    # times (fresh JVM each leg) and each level keeps its per-stage
+    # MIN across rounds — the engine's cost absent interference.
+    rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
+    samples: dict = {}
+    for _ in range(rounds):
+        for n, n4, amp in pairs:
+            samples.setdefault((n, n4, amp), []).append(
+                (run_subprocess(n, sf_dir, amp),
+                 run_subprocess(n4, sf_dir, amp)))
+
+    def best(runs: list[dict]) -> dict:
+        out = dict(runs[0])
+        for k in ("t_pip", "t_dissolve", "t_raster"):
+            out[k] = min(r[k] for r in runs)
+        out["total"] = round(out["t_pip"] + out["t_dissolve"]
+                             + out["t_raster"], 3)
+        out["docs_per_sec"] = round(out["docs"] / out["total"], 1)
+        out["tiles_per_sec"] = round(out["cells"] / out["t_raster"], 1)
+        return out
+
     results = []
-    for n, n4, amp in pairs:
-        lo = run_subprocess(n, sf_dir, amp)
-        hi = run_subprocess(n4, sf_dir, amp)
+    for (n, n4, amp), runs in samples.items():
+        lo = best([r[0] for r in runs])
+        hi = best([r[1] for r in runs])
         eff = lo["total"] / (4.0 * hi["total"])
         results.append((n, n4, amp, round(eff, 3), lo, hi))
         print(json.dumps({"metric": "scaling efficiency N vs 4N",
                           "value": round(eff, 3), "unit": "ratio",
-                          "n": n, "amp": amp, "lo": lo, "hi": hi,
-                          "sf": sf_dir}))
+                          "n": n, "amp": amp, "rounds": rounds,
+                          "lo": lo, "hi": hi, "sf": sf_dir}))
     md = REPO / "BENCH" / "BASELINE.md"
     md.parent.mkdir(exist_ok=True)
     # preserve sections other tools append (42-layer parity, hot-cell
@@ -236,8 +261,11 @@ round brief: local[N] vs local[4N] on identical input): composite
 overlay+dissolve job — depth-6 PIP precedence rollup (JVM codegen +
 broadcast join + wide shuffle), slab-kernel dissolve (Arrow + numpy),
 depth-5 raster burn+fold (numpy) — on {sf_dir}. Fresh JVM per level;
-inputs persisted before timing; each stage executed 4x, min taken
-(tools/bench_scaling.py header documents what is and isn't measured).
+inputs persisted before timing; each stage executed 4x within a leg
+AND the whole ladder repeated {rounds}x independently with per-stage
+minima per level (the shared host slows entire legs ~2x at random —
+measured; within-leg minima alone cannot reject that, cross-run minima
+do). tools/bench_scaling.py documents what is and isn't measured.
 
 {chr(10).join(sections)}
 ### Reading the two regions
