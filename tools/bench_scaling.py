@@ -40,13 +40,30 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def worker(n_threads: int, sf_dir: str, amp: int) -> dict:
+def worker(n_threads: int, sf_dir: str, amp: int,
+           n_exec: int = 0) -> dict:
+    """One parallelism level in a fresh JVM.  ``n_exec == 0`` uses
+    thread mode (master local[n_threads]); ``n_exec > 0`` uses
+    EXECUTOR mode (master local-cluster[n_exec, n_threads, mem]) —
+    real separate executor JVMs with their own heaps, GC, Python
+    worker pools and netty shuffle, the faithful sandbox analogue of
+    the north rule's "two cluster sizes (N and 4N executors)". The
+    dle package ships to executors as dist/dle.zip via addPyFile —
+    the same --py-files artifact a spark-submit run would use."""
     from pyspark.sql import SparkSession, functions as F
     from pyspark import StorageLevel
-    spark = (SparkSession.builder.master(f"local[{n_threads}]")
-             .appName(f"dle-scaling-{n_threads}")
-             .config("spark.sql.shuffle.partitions", str(2 * n_threads))
-             .config("spark.driver.memory", "16g")
+    total = n_threads if n_exec == 0 else n_exec * n_threads
+    if n_exec:
+        master = f"local-cluster[{n_exec},{n_threads},6144]"
+        label = f"dle-scaling-{n_exec}x{n_threads}"
+    else:
+        master = f"local[{n_threads}]"
+        label = f"dle-scaling-{n_threads}"
+    spark = (SparkSession.builder.master(master)
+             .appName(label)
+             .config("spark.sql.shuffle.partitions", str(2 * total))
+             .config("spark.driver.memory", "16g" if not n_exec
+                     else "6g")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.adaptive.coalescePartitions.enabled",
                      "false")
@@ -54,6 +71,12 @@ def worker(n_threads: int, sf_dir: str, amp: int) -> dict:
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+    if n_exec:
+        zip_path = REPO / "dist" / "dle.zip"
+        if not zip_path.exists():
+            from make_pyfiles import build
+            build()
+        spark.sparkContext.addPyFile(str(zip_path))
 
     from dle import sqlgen, datagen
     from dle.config import WIDTH_I, HEIGHT_I, XMIN, YMIN
@@ -144,20 +167,24 @@ def worker(n_threads: int, sf_dir: str, amp: int) -> dict:
     t_ras = best_of(ras_df)
     n_cells = ras_df.count()
 
-    total = t_pip + t_dis + t_ras
+    total_t = t_pip + t_dis + t_ras
     spark.stop()
-    return {"threads": n_threads,
+    return {"threads": total, "execs": n_exec,
+            "label": (f"local-cluster[{n_exec},{n_threads}]" if n_exec
+                      else f"local[{n_threads}]"),
             "t_pip": round(t_pip, 3), "t_dissolve": round(t_dis, 3),
-            "t_raster": round(t_ras, 3), "total": round(total, 3),
+            "t_raster": round(t_ras, 3), "total": round(total_t, 3),
             "docs": n_docs, "cells": n_cells,
-            "docs_per_sec": round(n_docs / total, 1),
+            "docs_per_sec": round(n_docs / total_t, 1),
             "tiles_per_sec": round(n_cells / t_ras, 1)}
 
 
-def run_subprocess(n: int, sf_dir: str, amp: int) -> dict:
-    cmd = [sys.executable, __file__, "--worker", sf_dir, str(n), str(amp)]
+def run_subprocess(n: int, sf_dir: str, amp: int,
+                   n_exec: int = 0) -> dict:
+    cmd = [sys.executable, __file__, "--worker", sf_dir, str(n),
+           str(amp), str(n_exec)]
     out = subprocess.run(cmd, capture_output=True, text=True,
-                         timeout=1200)
+                         timeout=1800)
     line = [ln for ln in out.stdout.splitlines()
             if ln.startswith("{")][-1]
     return json.loads(line)
@@ -167,10 +194,10 @@ def _table(lo: dict, hi: dict) -> str:
     rows = []
     for r in (lo, hi):
         rows.append(
-            f"| local[{r['threads']}] | {r['t_pip']} | {r['t_dissolve']}"
+            f"| {r['label']} | {r['t_pip']} | {r['t_dissolve']}"
             f" | {r['t_raster']} | {r['total']} | {r['docs_per_sec']}"
             f" | {r['tiles_per_sec']} |")
-    return ("| threads | PIP (s) | dissolve (s) | raster (s) | total (s)"
+    return ("| level | PIP (s) | dissolve (s) | raster (s) | total (s)"
             " | docs/sec | tiles/sec |\n|---|---|---|---|---|---|---|\n"
             + "\n".join(rows))
 
@@ -178,14 +205,24 @@ def _table(lo: dict, hi: dict) -> str:
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         print(json.dumps(worker(int(sys.argv[3]), sys.argv[2],
-                                int(sys.argv[4]))))
+                                int(sys.argv[4]),
+                                int(sys.argv[5])
+                                if len(sys.argv) > 5 else 0)))
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    pairs = [(2, 8, 8), (8, 32, 16)]  # (N, 4N, amp)
+    # pair = ((cores, execs)_lo, (cores, execs)_hi, amp).
+    # EXECUTOR pairs (local-cluster: 1 -> 4 real executor JVMs at
+    # fixed cores-per-executor) are the headline north-rule evidence;
+    # THREAD pairs (local[N]) are kept as the shared-memory ceiling.
+    mode = os.environ.get("SCALING_MODE", "both")
+    exec_pairs = [((2, 1), (2, 4), 8), ((4, 2), (4, 8), 16)]
+    thread_pairs = [((2, 0), (8, 0), 8), ((8, 0), (32, 0), 16)]
+    pairs = {"executors": exec_pairs, "threads": thread_pairs,
+             "both": exec_pairs + thread_pairs}[mode]
     if len(sys.argv) > 2:
         n = int(sys.argv[2])
         amp = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-        pairs = [(n, 4 * n, amp)]
+        pairs = [((n, 0), (4 * n, 0), amp)]
     # The sandbox host is SHARED: co-tenant load has been measured to
     # slow one whole leg ~2x uniformly across all three stages (JVM
     # codegen, Arrow+numpy, raster alike), which min-of-4 WITHIN a
@@ -195,10 +232,10 @@ def main():
     rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
     samples: dict = {}
     for _ in range(rounds):
-        for n, n4, amp in pairs:
-            samples.setdefault((n, n4, amp), []).append(
-                (run_subprocess(n, sf_dir, amp),
-                 run_subprocess(n4, sf_dir, amp)))
+        for lo_spec, hi_spec, amp in pairs:
+            samples.setdefault((lo_spec, hi_spec, amp), []).append(
+                (run_subprocess(lo_spec[0], sf_dir, amp, lo_spec[1]),
+                 run_subprocess(hi_spec[0], sf_dir, amp, hi_spec[1])))
 
     def best(runs: list[dict]) -> dict:
         out = dict(runs[0])
@@ -211,14 +248,16 @@ def main():
         return out
 
     results = []
-    for (n, n4, amp), runs in samples.items():
+    for (lo_spec, hi_spec, amp), runs in samples.items():
         lo = best([r[0] for r in runs])
         hi = best([r[1] for r in runs])
         eff = lo["total"] / (4.0 * hi["total"])
-        results.append((n, n4, amp, round(eff, 3), lo, hi))
+        results.append((amp, round(eff, 3), lo, hi))
         print(json.dumps({"metric": "scaling efficiency N vs 4N",
                           "value": round(eff, 3), "unit": "ratio",
-                          "n": n, "amp": amp, "rounds": rounds,
+                          "lo_level": lo["label"],
+                          "hi_level": hi["label"],
+                          "amp": amp, "rounds": rounds,
                           "lo": lo, "hi": hi, "sf": sf_dir}))
     md = REPO / "BENCH" / "BASELINE.md"
     md.parent.mkdir(exist_ok=True)
@@ -230,34 +269,44 @@ def main():
     keep = ""
     if md.exists():
         text = md.read_text()
-        own = re.compile(r"^## local\[\d+\] vs local\[\d+\]")
+        own = re.compile(r"^## local")
         cuts = [m.start() for m in re.finditer(r"^## .*$", text,
                                                re.MULTILINE)
                 if not own.match(text[m.start():m.end()])]
         if cuts:
             keep = "\n" + text[min(cuts):]
     sections = []
-    for n, n4, amp, eff, lo, hi in results:
+    for amp, eff, lo, hi in results:
         per_stage = "\n".join(
             f"| {label} | {lo[k]} | {hi[k]} |"
             f" {lo[k] / (4.0 * hi[k]):.2f} |"
             for label, k in (("PIP fold", "t_pip"),
                              ("dissolve", "t_dissolve"),
                              ("raster", "t_raster")))
+        kind = ("EXECUTOR scaling — separate executor JVMs, the"
+                " north-rule N vs 4N analogue" if lo["execs"]
+                else "thread scaling — shared-JVM ceiling")
         sections.append(
-            f"## local[{n}] vs local[{n4}] (x{amp} amplification)\n\n"
+            f"## {lo['label']} vs {hi['label']}"
+            f" (x{amp} amplification)\n\n"
+            f"{kind}.\n\n"
             + _table(lo, hi)
-            + f"\n\n**Scaling efficiency (T_{n} / (4 x T_{n4})):"
+            + f"\n\n**Scaling efficiency (T_lo / (4 x T_hi)):"
               f" {eff:.3f}** (target >= 0.8)\n"
               f"docs processed: {lo['docs']:,};"
               f" raster cells: {lo['cells']}.\n\n"
-              f"| stage | T_{n} (s) | T_{n4} (s) | efficiency |\n"
+              "| stage | T_lo (s) | T_hi (s) | efficiency |\n"
               "|---|---|---|---|\n" + per_stage + "\n")
     md.write_text(f"""# BENCH/BASELINE — measured engine numbers
 
 North-rule scaling evidence (BASELINE.json: "throughput scaling
-efficiency >= 0.8 between N and 4N executors"; sandbox analogue per the
-round brief: local[N] vs local[4N] on identical input): composite
+efficiency >= 0.8 between N and 4N executors"). Two sandbox analogues
+on identical input: EXECUTOR mode — `local-cluster[N,c,mem]` vs
+`local-cluster[4N,c,mem]`, real separate executor JVMs (own heaps, GC,
+Python worker pools, netty shuffle; the dle package ships to executors
+as dist/dle.zip exactly as `spark-submit --py-files` would) — and
+THREAD mode (`local[N]` vs `local[4N]`, the shared-JVM ceiling).
+The measured job is a composite
 overlay+dissolve job — depth-6 PIP precedence rollup (JVM codegen +
 broadcast join + wide shuffle), slab-kernel dissolve (Arrow + numpy),
 depth-5 raster burn+fold (numpy) — on {sf_dir}. Fresh JVM per level;
@@ -268,18 +317,21 @@ measured; within-leg minima alone cannot reject that, cross-run minima
 do). tools/bench_scaling.py documents what is and isn't measured.
 
 {chr(10).join(sections)}
-### Reading the two regions
+### Reading the regions
 
-local[2] -> local[8] is the clean-scaling region and the honest proxy
-for adding executors: every stage has 4x the cores AND 4x the usable
-memory bandwidth headroom. local[8] -> local[32] saturates this single
+EXECUTOR mode is the faithful reading of the north rule: going from N
+to 4N executor JVMs exercises exactly what a cluster scale-up does —
+more executor heaps, more Python worker pools, task scheduling over
+real executor endpoints, shuffle over netty — with the one caveat that
+all executors share this single box's memory bus and clock budget.
+THREAD mode bounds the same plans inside one JVM. In either mode the
+low-core legs additionally ride the CPU's max turbo clock while
+high-core legs clock lower, and the 8+ -> 32-core step saturates the
 box's memory bus (a pure-JVM `range().sum()` probe measures only 0.62
-efficiency at that step, bounding anything shuffle-bound), and
-2-thread runs additionally ride the CPU's max turbo clock while
-32-thread runs clock lower — both effects are physical properties of
-one box, not of the plans; on a real cluster 4x executors bring 4x
-memory channels and sockets, so the 2->8 number is the one that
-transfers.
+efficiency at that step, bounding anything shuffle-bound) — physical
+properties of one box, not of the plans; on a real cluster 4x
+executors bring 4x memory channels and sockets, so the low-core
+executor-mode number is the one that transfers.
 
 Stage notes: the PIP stage is the IN-SCAN fold
 (spatial_join.pip_index_join) — zero point-side exchanges, so its
