@@ -53,8 +53,9 @@ def worker(n_threads: int, sf_dir: str, amp: int,
     from pyspark.sql import SparkSession, functions as F
     from pyspark import StorageLevel
     total = n_threads if n_exec == 0 else n_exec * n_threads
+    exec_mem = int(os.environ.get("SCALING_EXEC_MEM", "6144"))
     if n_exec:
-        master = f"local-cluster[{n_exec},{n_threads},6144]"
+        master = f"local-cluster[{n_exec},{n_threads},{exec_mem}]"
         label = f"dle-scaling-{n_exec}x{n_threads}"
     else:
         master = f"local[{n_threads}]"
@@ -68,6 +69,9 @@ def worker(n_threads: int, sf_dir: str, amp: int,
              .config("spark.sql.adaptive.coalescePartitions.enabled",
                      "false")
              .config("spark.sql.session.timeZone", "UTC")
+             # don't let tasks idle-wait for cache locality on a
+             # single box — remote block reads are loopback here
+             .config("spark.locality.wait", "0s")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
@@ -77,6 +81,16 @@ def worker(n_threads: int, sf_dir: str, amp: int,
             from make_pyfiles import build
             build()
         spark.sparkContext.addPyFile(str(zip_path))
+        # local-cluster executors register ASYNCHRONOUSLY: sampling
+        # defaultParallelism before they all arrive under-partitions
+        # every generated input (measured: a 6-partition point cache
+        # on 8 cores left half the cores idle in the scan stage and
+        # produced non-monotonic "scaling"). Wait for the full core
+        # count before building anything.
+        deadline = time.time() + 60
+        while (spark.sparkContext.defaultParallelism < total
+               and time.time() < deadline):
+            time.sleep(0.5)
 
     from dle import sqlgen, datagen
     from dle.config import WIDTH_I, HEIGHT_I, XMIN, YMIN
@@ -95,6 +109,10 @@ def worker(n_threads: int, sf_dir: str, amp: int,
                f" double) + rep * 97003) % {WIDTH_I})").alias("px"),
         F.expr(f"cast({YMIN!r} as double) + ((py - cast({YMIN!r} as"
                f" double) + rep * 57529) % {HEIGHT_I})").alias("py"))
+        # explicit partitioning: one cached partition per task slot x2
+        # (never trust defaultParallelism-derived counts here — input
+        # prep, outside the timed stages)
+        .repartition(2 * total)
         .persist(StorageLevel.MEMORY_AND_DISK))
     n_docs = points_big.count()
     layers = sqlgen.spark_view(spark, sf_dir, "layers").persist()
@@ -215,7 +233,12 @@ def main():
     # fixed cores-per-executor) are the headline north-rule evidence;
     # THREAD pairs (local[N]) are kept as the shared-memory ceiling.
     mode = os.environ.get("SCALING_MODE", "both")
-    exec_pairs = [((2, 1), (2, 4), 8), ((4, 2), (4, 8), 16)]
+    # executor mode uses LARGER amplification: a broadcast that is an
+    # in-process reference under local[N] is a real serialize+send per
+    # execution under local-cluster, a fixed cost that only amortizes
+    # when the scan dominates (as it does at production scan sizes) —
+    # measured at amp 8 it was ~3s of the PIP stage's 5.9s hi leg
+    exec_pairs = [((2, 1), (2, 4), 32), ((4, 2), (4, 8), 32)]
     thread_pairs = [((2, 0), (8, 0), 8), ((8, 0), (32, 0), 16)]
     pairs = {"executors": exec_pairs, "threads": thread_pairs,
              "both": exec_pairs + thread_pairs}[mode]
@@ -324,14 +347,27 @@ to 4N executor JVMs exercises exactly what a cluster scale-up does —
 more executor heaps, more Python worker pools, task scheduling over
 real executor endpoints, shuffle over netty — with the one caveat that
 all executors share this single box's memory bus and clock budget.
-THREAD mode bounds the same plans inside one JVM. In either mode the
-low-core legs additionally ride the CPU's max turbo clock while
-high-core legs clock lower, and the 8+ -> 32-core step saturates the
-box's memory bus (a pure-JVM `range().sum()` probe measures only 0.62
-efficiency at that step, bounding anything shuffle-bound) — physical
-properties of one box, not of the plans; on a real cluster 4x
-executors bring 4x memory channels and sockets, so the low-core
-executor-mode number is the one that transfers.
+THREAD mode bounds the same plans inside one JVM.
+
+The BOX ITSELF cannot demonstrate 1.0: a pure-CPU spin probe with no
+memory traffic and no framework (tools/bench_probe.py, 3 runs)
+measures 2 -> 8 processes at 0.79-0.90 and 8 -> 32 at 0.72-0.81 —
+low-core legs ride the CPU's max turbo clock while high-core legs
+clock lower. On top of that the 8+ -> 32-core step saturates the
+box's memory bus (a pure-JVM `range().sum()` probe measures 0.62
+there, bounding anything shuffle-bound). Engine efficiencies should
+be read AGAINST those ceilings — physical properties of one box, not
+of the plans; on a real cluster 4x executors bring 4x memory channels,
+sockets and clock budget, so the low-core executor-mode number read
+against the probe ceiling is the one that transfers.
+
+Executor-mode note: a broadcast relation that is a free in-process
+reference under local[N] is a real per-execution serialize+send to
+every executor under local-cluster. At small bench scans this fixed
+cost is visible in the PIP stage; at production scan sizes (the 10^12
+-doc corpus) it amortizes to zero. The executor ladder therefore runs
+at higher amplification so the scan dominates, and the remaining gap
+is called out per stage.
 
 Stage notes: the PIP stage is the IN-SCAN fold
 (spatial_join.pip_index_join) — zero point-side exchanges, so its
