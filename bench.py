@@ -24,6 +24,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from dle import queries as q  # noqa: E402
 from dle.session import get_spark  # noqa: E402
 
+# HEADLINE is a representative subset, not the full 60+ registry.
+# Deliberately OMITTED for suite cost (VERDICT r3 #3): redundant twins
+# (spatial_knn brute — pruned is hash-identical; ann_lsh_buckets /
+# ann_ivf_topk — subsumed by ann_lsh_topk / ann_ivf_trained_topk;
+# multimodal_pipeline_stats / multimodal_resize_stats — decode_stats
+# covers the decode path; events_sliding_window / events_sessions —
+# window_stats covers the windowed-agg path; asof_click_forward —
+# nearest covers the cogrouped searchsorted; overlay_precedence_area_1d
+# — the 42-layer variant is the scale case; overlay_planarize_labels_1d
+# — coverage is the same planarize pass), the constant-output qa row
+# qa_planarized_totals, and pipeline_resume_rollup (it measures
+# checkpoint I/O, not engine throughput). Correctness for every omitted
+# query is still driver-gated (CORRECTNESS_r*.json) or replicable via
+# tools/check_oracle.py.
 HEADLINE = [
     "spatial_cell_assign",
     "spatial_pip_join",
@@ -73,6 +87,11 @@ HEADLINE = [
     "pages_topk_per_host",
     "spatial_cell_pyramid",
     "pack_sequences",
+    # r4 additions (appended: keeps common-query diffs clean)
+    "pages_html_invariant",
+    "qa_class_sums",
+    "spatial_pip_polygon",
+    "overlay_buffer_area",
 ]
 
 
@@ -86,7 +105,6 @@ def run_suite(spark, sf_dir):
     the suite honest about engine cost without tripling wall time."""
     qs = q.queries()
     times = {}
-    rows = {}
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -94,11 +112,11 @@ def run_suite(spark, sf_dir):
         for _ in range(max(1, REPS)):
             t0 = time.perf_counter()
             # count() forces full execution w/o driver-side collect cost
-            rows[name] = qs[name](spark, sf_dir).count()
+            qs[name](spark, sf_dir).count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
-    return times, rows
+        times[name] = round(best, 2)
+    return times
 
 
 def n_docs(spark, sf_dir):
@@ -115,10 +133,15 @@ def main():
     # Python worker pool + numpy import in every worker)
     q.queries()["spatial_rollup_counts"](spark, sf_dir).count()
     q.queries()["overlay_dissolve_area_1d"](spark, sf_dir).count()
-    times, rows = run_suite(spark, sf_dir)
-    total = round(sum(times.values()), 3)
+    times = run_suite(spark, sf_dir)
+    total = round(sum(times.values()), 2)
     docs = n_docs(spark, sf_dir)
     flag = times.get("spatial_pip_precedence", total) or total
+    # VERDICT r3 #2: the r3 JSON line (46 times + 46 row counts) outgrew
+    # the driver's tail-capture window and recorded as "parsed": null.
+    # Row counts are CORRECTNESS's job, so they are gone; times are 2dp;
+    # separators= strips whitespace; stdout is flushed and the JSON is
+    # the FINAL line this process prints.
     out = {
         "metric": "overlay+dissolve headline suite wall time",
         "value": total,
@@ -127,11 +150,12 @@ def main():
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "docs": docs,
         "docs_per_sec": round(docs / flag, 1) if flag else None,
-        "rows": rows,
         "cpus": cpus,
         "reps": REPS,
     }
-    print(json.dumps(out))
+    spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(out, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

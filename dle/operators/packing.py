@@ -23,15 +23,33 @@ sort; no corpus-wide single-task stage, no second shuffle (a window
 partitioned by pid would re-exchange — Catalyst cannot see that pid
 already IS the physical partition).
 
-The two passes re-evaluate the same ranged plan, so they must agree on
-row -> partition assignment: RangePartitioner's reservoir sampling is
-seeded deterministically (byteswap32(partition index)), so identical
-deterministic input yields identical boundaries on both passes.
+The two passes must agree on row -> partition assignment.
+RangePartitioner's reservoir sampling is deterministically seeded
+(byteswap32(partition index)) but samples the input's WITHIN-PARTITION
+row order, which only repeats across evaluations for deterministic
+scan-rooted plans — a multi-join upstream (jobs/text_pipeline_job.py)
+can legally reorder rows between evaluations and silently skew the
+boundaries (ADVICE r3, medium). The range-partitioned frame is
+therefore persist()ed and materialized by pass 1, so pass 2 reads the
+SAME physical partitions instead of re-evaluating the plan. The
+persisted frame is registered for release via release_cache() (same
+single-outstanding-result contract as operators.knn).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+_PERSISTED: list = []
+
+
+def release_cache() -> None:
+    """Unpersist the ranged frame cached by a previous pack_sequences
+    call. Call once the previous result has been fully consumed; a
+    released frame recomputes lazily (and may then repartition
+    differently) if its DataFrame is consumed afterwards."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(False)
 
 
 def pack_sequences(docs: DataFrame, capacity: int,
@@ -48,9 +66,13 @@ def pack_sequences(docs: DataFrame, capacity: int,
     LM pipelines pack (no padding, boundaries cross documents)."""
     import pandas as pd
 
+    release_cache()
     parted = (docs.select(order_col, weight_col)
-              .repartitionByRange(order_col))
-    # pass 1: per-partition totals -> driver (P rows) -> offset table
+              .repartitionByRange(order_col).persist())
+    _PERSISTED.append(parted)
+    # pass 1: per-partition totals -> driver (P rows) -> offset table.
+    # The collect below MATERIALIZES the persisted partitions, pinning
+    # the row->partition assignment pass 2 depends on (see module doc).
     psums = {r["p"]: r["s"] for r in
              parted.withColumn("p", F.spark_partition_id())
              .groupBy("p").agg(F.sum(weight_col).alias("s"))

@@ -18,11 +18,11 @@ form shards by cell)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import DEFAULT_DEPTH
 from ..operators.overlay import (
-    dissolve, insert_difference_fused, tile_geoms,
+    buffer_geoms, dissolve, insert_difference_fused, tile_geoms,
 )
 from ..operators.skew import subdivide
 
@@ -30,14 +30,30 @@ from ..operators.skew import subdivide
 def build_boundary(spark: SparkSession, pieces: DataFrame,
                    depth: int = DEFAULT_DEPTH,
                    max_vertices: int = 64,
-                   keys: list[str] | None = None) -> DataFrame:
+                   keys: list[str] | None = None,
+                   class_buffer: dict[str, float] | None = None,
+                   ) -> DataFrame:
     """Compose raw boundary pieces into the non-overlapping boundary
     layer. `pieces` needs (cls string, process_order int, geom binary)
     plus any ride-along keys; lower process_order claims space first.
-    Returns tiled rows (cell + input columns), classes disjoint."""
+    Returns tiled rows (cell + input columns), classes disjoint.
+
+    ``class_buffer`` maps a class name to a buffer radius applied to
+    its pieces BEFORE tiling — the reference's north-border move, where
+    the neighbouring jurisdiction strip is ST_Buffer'd 250 m so it
+    claims a sliver-free seam before land is inserted
+    (/root/reference/sql/create_tiles.sql:68). Buffering precedes
+    tiling because a dilated piece may spill into adjacent cells."""
     keys = keys or []
     cols = ["cls", "process_order"] + keys + ["geom"]
-    tiled = tile_geoms(pieces.select(*cols), depth) \
+    pieces = pieces.select(*cols)
+    if class_buffer:
+        rest = pieces.where(~F.col("cls").isin(list(class_buffer)))
+        for cls, r in class_buffer.items():
+            buf = buffer_geoms(pieces.where(F.col("cls") == cls), r)
+            rest = rest.unionByName(buf)
+        pieces = rest
+    tiled = tile_geoms(pieces, depth) \
         .drop("bx0", "by0", "bx1", "by1")
     dis = dissolve(tiled, ["cell", "cls", "process_order"] + keys)
     sub = subdivide(dis, max_vertices=max_vertices)

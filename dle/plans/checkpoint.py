@@ -107,8 +107,15 @@ def run_stage(spark, manifest: Manifest, stage: str, fingerprint: str,
     except Exception:
         # A ZERO-ROW stage writes no parquet part files at all (a
         # partitionBy write of an empty frame emits nothing), so the
-        # read-back cannot infer a schema (ADVICE r2, medium). The
-        # build plan's schema IS the stage schema — return an empty
+        # read-back cannot infer a schema (ADVICE r2, medium). That is
+        # the ONLY failure treated as success: if part files DO exist,
+        # the read failed for a real reason (corrupt footer, permission,
+        # truncated write) and swallowing it would record a broken stage
+        # as an empty completed one, silently skipped on every resume
+        # (ADVICE r3, low) — re-raise instead.
+        if any(out_dir.rglob("*.parquet")):
+            raise
+        # The build plan's schema IS the stage schema — return an empty
         # frame with it and still record completion below, so resumes
         # skip the layer instead of crashing on the same read.
         result = spark.createDataFrame([], df.schema)

@@ -201,58 +201,55 @@ def o_dedup_simhash():
 def q_dedup_ngram_jaccard(spark, sf):
     """n-gram Jaccard near-dup verification (round brief): candidate
     pairs from SHINGLE-minhash LSH bands, then EXACT word-3-gram
-    Jaccard per pair via a shingle equi-join. Counts stay exact
-    integers (n_inter, n_union) so the gate is float-free.
+    Jaccard per pair. Counts stay exact integers (n_inter, n_union)
+    so the gate is float-free.
 
-    Scale shape: minhashing the word-3-gram shingles (not unigram
-    tokens — VERDICT r2 #1: unigram banding bucketed same-language
-    text together, 77 % of all pairs at the sf0.01 gate) means a band
-    collision requires a shared minimum over the shingle SET, so
-    buckets hold true near-dup groups and the candidate equi-join is
-    collision-bounded, never O(n^2)."""
+    Scale shape (r4 plan trim, VERDICT r3 #5 — the r3 form spent 16
+    exchanges / 18 broadcasts on band self-join + shingle explode +
+    three verification joins):
+
+      * candidates: band rows -> ONE groupBy (band, bucket) collecting
+        the doc list, pairs generated scan-side by a nested-transform
+        explode of each >1-doc bucket, one distinct. Collision-bounded
+        exactly like the self-join form, minus its join exchange.
+      * verification: no shingle explode at all — each candidate doc's
+        DISTINCT shingle array comes from a corpus scan pruned by a
+        broadcast semi of the (tiny) pair list, and the exact
+        intersection is `size(array_intersect(sa, sb))` computed in
+        the final projection. Total exchanges: the bucket groupBy +
+        the pair distinct; the corpus never shuffles.
+
+    Minhashing the word-3-gram shingles (not unigram tokens — VERDICT
+    r2 #1) keeps buckets true near-dup groups, never O(n^2)."""
     register_tables(spark, sf)
     band = _minhash_band_rows(spark, shingles=True)
-    pairs = (band.alias("a").join(
-        band.alias("b"),
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b")).distinct())
+    ds = F.array_sort(F.collect_list("doc_id"))
+    combos = ("flatten(transform(ds, (a, i) -> "
+              "transform(slice(ds, i + 2, size(ds) - i - 1), "
+              "b -> struct(a as doc_a, b as doc_b))))")
+    pairs = (band.groupBy("band", "bucket").agg(ds.alias("ds"))
+             .where(F.size("ds") > 1)
+             .select(F.explode(F.expr(combos)).alias("p"))
+             .select("p.doc_a", "p.doc_b").distinct())
 
-    shingles = (spark.table("documents")
-                .where(F.expr("size(split(text, ' ')) >= 3"))
-                .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh")))
-    # verification cost must be bounded by CANDIDATE docs, not the
-    # corpus: semi-join the exploded shingles down to docs that appear
-    # in some candidate pair before any shuffle keyed by (doc, shingle)
-    cand_docs = (pairs.select(F.col("doc_a").alias("doc_id"))
-                 .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-                 .distinct())
-    shingles = shingles.join(F.broadcast(cand_docs), "doc_id",
-                             "left_semi")
-    counts = shingles.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh"))
-
-    inter = (pairs
-             .join(shingles.select(F.col("doc_id").alias("doc_a"),
-                                   "sh"), "doc_a")
-             .join(shingles.select(F.col("doc_id").alias("doc_b"),
-                                   "sh"), ["doc_b", "sh"])
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    out = (pairs
-           .join(counts.select(F.col("doc_id").alias("doc_a"),
-                               F.col("n_sh").alias("na")), "doc_a")
-           .join(counts.select(F.col("doc_id").alias("doc_b"),
-                               F.col("n_sh").alias("nb")), "doc_b")
-           .join(inter, ["doc_a", "doc_b"], "left"))
-    return out.select(
-        "doc_a", "doc_b",
-        F.coalesce("n_inter", F.lit(0)).cast("bigint").alias("n_inter"),
-        (F.col("na") + F.col("nb")
-         - F.coalesce("n_inter", F.lit(0))).cast("bigint")
-        .alias("n_union"))
+    base = spark.table("documents").where(
+        F.expr("size(split(text, ' ')) >= 3"))
+    # broadcast joins prune the corpus scan to candidate docs BEFORE
+    # the shingle arrays are built (join below the projection), so the
+    # shingle HOF runs only for pair members
+    left = (base.join(F.broadcast(pairs),
+                      base.doc_id == F.col("doc_a"))
+            .select("doc_a", "doc_b", F.expr(_SHINGLES).alias("sa")))
+    both = (base.join(F.broadcast(left), base.doc_id == F.col("doc_b"))
+            .select("doc_a", "doc_b", "sa",
+                    F.expr(_SHINGLES).alias("sb")))
+    return (both
+            .withColumn("n_inter",
+                        F.size(F.array_intersect("sa", "sb"))
+                        .cast("bigint"))
+            .select("doc_a", "doc_b", "n_inter",
+                    (F.size("sa") + F.size("sb") - F.col("n_inter"))
+                    .cast("bigint").alias("n_union")))
 
 
 def o_dedup_ngram_jaccard():

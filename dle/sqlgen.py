@@ -142,6 +142,49 @@ layers as (
 )"""
 
 
+def tris_ctes(dialect: str, n_orders: int = 8) -> str:
+    """CTEs ending in ``tris``: NON-RECTANGULAR designation features —
+    axis-legged right triangles (VERDICT r3 #3: every prior spatial
+    gate's layer fixture was rectangular, so the flagship E1/E2 path
+    had never proven the true-polygon predicate the reference runs,
+    /root/reference/sql/create_designations_planarized.sql:60-61).
+    Even feat_ids keep the lower-left half of their bbox (diagonal from
+    (x1,y0) to (x0,y1)), odd the upper-right half, so both winding
+    directions against the diagonal occur.
+
+    BOUNDARY-FREE BY CONSTRUCTION, so engine (float winding test) and
+    oracle (exact half-plane arithmetic) can never disagree on a
+    borderline point: triangle corners sit on +0.25 offsets while
+    points sit on +0.5 offsets (vertical/horizontal edges unreachable),
+    and both legs are ≡ 1 (mod 4) so for any point the diagonal
+    functional (px-x0)*h + (py-y0)*w differs from w*h by an exact odd
+    multiple of 0.5 (never 0). All quantities are integral multiples
+    of 0.25 well under 2^53 — bit-exact in float64 in both engines."""
+    return f"""
+_t0 as (
+  select doc_id as feat_id,
+         (cast(doc_id as bigint) * 69621 + 3) % {M31} as u1
+  from documents
+),
+_t1 as (select *, (u1 * 69621 + 5) % {M31} as u2 from _t0),
+_t2 as (select *, (u2 * 69621 + 9) % {M31} as u3 from _t1),
+_t3 as (select *, (u3 * 69621 + 15) % {M31} as u4 from _t2),
+tris as (
+  select feat_id,
+         cast(feat_id % {n_orders} as int) + 1 as process_order,
+         concat('desig_', lpad(cast(cast(feat_id % {n_orders} as int) + 1
+                as string), 2, '0')) as designation,
+         cast(feat_id % 2 as int) as orient,
+         cast({XMIN!r} as double) + (u1 % {WIDTH_I - 50005}) + 0.25 as x0,
+         cast({YMIN!r} as double) + (u2 % {HEIGHT_I - 50005}) + 0.25 as y0,
+         cast({XMIN!r} as double) + (u1 % {WIDTH_I - 50005}) + 0.25
+           + 501 + 4 * (u3 % 12375) as x1,
+         cast({YMIN!r} as double) + (u2 % {HEIGHT_I - 50005}) + 0.25
+           + 501 + 4 * (u4 % 12375) as y1
+  from _t3
+)"""
+
+
 def bands_ctes(dialect: str, n_orders: int = 8) -> str:
     """CTEs ending in ``bands``: heavily-overlapping x-intervals inside
     disjoint y-bands, one band family per designation. The engine
@@ -173,7 +216,8 @@ bands as (
 
 
 def preamble(dialect: str, *, pages: bool = True, layers: bool = True,
-             bands: bool = False, n_orders: int = 8) -> str:
+             bands: bool = False, tris: bool = False,
+             n_orders: int = 8) -> str:
     parts = []
     if pages:
         parts.append(pages_ctes(dialect))
@@ -181,6 +225,8 @@ def preamble(dialect: str, *, pages: bool = True, layers: bool = True,
         parts.append(layers_ctes(dialect, n_orders))
     if bands:
         parts.append(bands_ctes(dialect, n_orders))
+    if tris:
+        parts.append(tris_ctes(dialect, n_orders))
     return "with " + ",".join(parts)
 
 
@@ -220,6 +266,8 @@ def spark_view(spark, sf_dir: str, name: str):
     register_tables(spark, sf_dir)
     need_pages = name in ("pages", "captures", "points")
     need_bands = name == "bands"
+    need_tris = name == "tris"
     pre = preamble("spark", pages=need_pages, bands=need_bands,
-                   layers=not (need_pages or need_bands))
+                   tris=need_tris,
+                   layers=not (need_pages or need_bands or need_tris))
     return spark.sql(f"{pre} select * from {name}")

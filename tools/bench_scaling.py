@@ -91,6 +91,16 @@ def worker(n_threads: int, sf_dir: str, amp: int,
         while (spark.sparkContext.defaultParallelism < total
                and time.time() < deadline):
             time.sleep(0.5)
+        registered = spark.sparkContext.defaultParallelism
+        if registered < total:
+            # ADVICE r3 (low): proceeding silently here emits exactly
+            # the under-partitioned non-monotonic ladder legs the wait
+            # exists to prevent — a slow host must fail loudly, not
+            # publish bogus scaling numbers.
+            spark.stop()
+            raise RuntimeError(
+                f"executor registration timed out: {registered}/{total} "
+                f"cores after 60s — rerun on an idler host")
 
     from dle import sqlgen, datagen
     from dle.config import WIDTH_I, HEIGHT_I, XMIN, YMIN
