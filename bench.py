@@ -92,6 +92,7 @@ HEADLINE = [
     "qa_class_sums",
     "spatial_pip_polygon",
     "overlay_buffer_area",
+    "dedup_components",
 ]
 
 

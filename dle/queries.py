@@ -518,7 +518,11 @@ KERNEL_TAIL = {"overlay_precedence_area_1d", "overlay_planarize_labels_1d",
                "qa_planarized_totals"}
 TEXT_TAIL = {"ann_lsh_buckets", "ann_ivf_topk", "multimodal_pipeline_stats",
              "multimodal_resize_stats", "events_sliding_window",
-             "events_sessions", "asof_click_purchase"}
+             "events_sessions", "asof_click_purchase",
+             # bucket histogram demoted for the r4 components gate
+             # (shingle banding is exercised by ngram_jaccard +
+             # components; rotate back next round)
+             "dedup_minhash_buckets"}
 
 # Registry ORDER IS LOAD-BEARING (VERDICT r3 #1): the driver's
 # correctness gate samples the FIRST 50 entries in insertion order.

@@ -222,15 +222,7 @@ def q_dedup_ngram_jaccard(spark, sf):
     Minhashing the word-3-gram shingles (not unigram tokens — VERDICT
     r2 #1) keeps buckets true near-dup groups, never O(n^2)."""
     register_tables(spark, sf)
-    band = _minhash_band_rows(spark, shingles=True)
-    ds = F.array_sort(F.collect_list("doc_id"))
-    combos = ("flatten(transform(ds, (a, i) -> "
-              "transform(slice(ds, i + 2, size(ds) - i - 1), "
-              "b -> struct(a as doc_a, b as doc_b))))")
-    pairs = (band.groupBy("band", "bucket").agg(ds.alias("ds"))
-             .where(F.size("ds") > 1)
-             .select(F.explode(F.expr(combos)).alias("p"))
-             .select("p.doc_a", "p.doc_b").distinct())
+    pairs = _shingle_lsh_pairs(spark)
 
     base = spark.table("documents").where(
         F.expr("size(split(text, ' ')) >= 3"))
@@ -250,6 +242,94 @@ def q_dedup_ngram_jaccard(spark, sf):
             .select("doc_a", "doc_b", "n_inter",
                     (F.size("sa") + F.size("sb") - F.col("n_inter"))
                     .cast("bigint").alias("n_union")))
+
+
+def _shingle_lsh_pairs(spark):
+    """Candidate near-dup pairs (doc_a < doc_b, distinct) from the
+    shingle-minhash LSH bands: ONE groupBy (band, bucket) collecting
+    each bucket's sorted doc list, pairs generated scan-side by a
+    nested-transform explode, one distinct. Shared by the Jaccard
+    verification gate and the connected-components clustering gate."""
+    band = _minhash_band_rows(spark, shingles=True)
+    ds = F.array_sort(F.collect_list("doc_id"))
+    combos = ("flatten(transform(ds, (a, i) -> "
+              "transform(slice(ds, i + 2, size(ds) - i - 1), "
+              "b -> struct(a as doc_a, b as doc_b))))")
+    return (band.groupBy("band", "bucket").agg(ds.alias("ds"))
+            .where(F.size("ds") > 1)
+            .select(F.explode(F.expr(combos)).alias("p"))
+            .select("p.doc_a", "p.doc_b").distinct())
+
+
+def q_dedup_components(spark, sf):
+    """Near-dup CLUSTER assignment — the step a production dedup
+    pipeline runs after pair generation: connected components over the
+    shingle-minhash candidate graph, keeper = min doc_id per
+    component. Iterative MIN-LABEL PROPAGATION: each pass is one
+    edges-to-labels equi-join + a map-side-combinable min groupBy;
+    convergence detected by the (monotonically decreasing) label sum,
+    a single scalar per pass. Near-dup components are bucket-clique
+    unions with tiny diameter, so passes ~ 2-3; the hard cap (32) only
+    guards pathological chains. Each pass's labels are persisted and
+    materialized by the convergence probe, so lineage stays flat —
+    at 10^12 docs this is the standard large-star/small-star shape:
+    O(E) work per pass, O(diameter) passes, never all-pairs.
+
+    Output: (doc_id, component) for every doc in >= 1 candidate pair;
+    component == min doc_id reachable. Oracle = DuckDB recursive-CTE
+    transitive closure over the same pair graph."""
+    register_tables(spark, sf)
+    pairs = _shingle_lsh_pairs(spark)
+    edges = (pairs.select(F.col("doc_a").alias("u"),
+                          F.col("doc_b").alias("v"))
+             .unionByName(pairs.select(F.col("doc_b").alias("u"),
+                                       F.col("doc_a").alias("v")))
+             .persist())
+    # localCheckpoint per pass TRUNCATES LINEAGE: without it the plan
+    # text doubles per iteration (labels appears under both the
+    # propagation join and the outer join) and Catalyst re-analyzes the
+    # whole history each pass — the classic iterative-algorithm trap.
+    # On a real cluster, swap for reliable checkpoint / parquet commits
+    # (localCheckpoint pins blocks to executors and dies with one).
+    labels = (edges.select(F.col("u").alias("node")).distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint())
+    prev = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(32):
+        prop = (edges.join(labels, edges.v == F.col("node"))
+                .groupBy("u").agg(F.min("label").alias("nl")))
+        labels = (labels.join(prop, labels.node == prop.u, "left")
+                  .select(F.col("node"),
+                          F.least(F.col("label"),
+                                  F.coalesce(F.col("nl"),
+                                             F.col("label")))
+                          .alias("label")).localCheckpoint())
+        s = labels.agg(F.sum("label")).collect()[0][0]
+        if s == prev:
+            break
+        prev = s
+    edges.unpersist(False)
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("component"))
+
+
+def o_dedup_components():
+    return f"""
+ with recursive {_minhash_band_ctes(shingles=True)},
+ pairs as (
+   select distinct a.doc_id as doc_a, b.doc_id as doc_b
+   from band a join band b
+     on a.band = b.band and a.bucket = b.bucket
+    and a.doc_id < b.doc_id),
+ edges as (select doc_a as u, doc_b as v from pairs
+           union select doc_b as u, doc_a as v from pairs),
+ r(u, v) as (
+   select u, v from edges
+   union
+   select r.u, e.v from r join edges e on e.u = r.v),
+ comp as (select u as doc_id, least(u, min(v)) as component
+          from r group by u)
+ select doc_id, component from comp"""
 
 
 def o_dedup_ngram_jaccard():
@@ -1583,6 +1663,7 @@ TEXT_QUERIES = {
                               o_dedup_minhash_buckets),
     "dedup_simhash": (q_dedup_simhash, o_dedup_simhash),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, o_dedup_ngram_jaccard),
+    "dedup_components": (q_dedup_components, o_dedup_components),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                o_dedup_embedding_cosine),
     "text_fingerprint": (q_text_fingerprint, o_text_fingerprint),
