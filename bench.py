@@ -93,6 +93,9 @@ HEADLINE = [
     "spatial_pip_polygon",
     "overlay_buffer_area",
     "dedup_components",
+    "url_canonical_dedup",
+    "text_length_quantiles",
+    "corpus_filter_stats",
 ]
 
 

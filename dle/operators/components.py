@@ -1,0 +1,54 @@
+"""Distributed connected components over an undirected edge list —
+the clustering step after near-dup pair generation (keeper = min node
+per component), reused by the dedup_components gate and the text
+pipeline job.
+
+Iterative MIN-LABEL PROPAGATION: each pass is one edges-to-labels
+equi-join plus a map-side-combinable min groupBy; convergence is
+detected by the monotonically decreasing label sum (a single scalar
+collect per pass). Near-dup components are bucket-clique unions with
+tiny diameter, so passes ~ 2-3; the hard cap only guards pathological
+chains. Each pass localCheckpoints: without it the plan text doubles
+per iteration (labels sits under both the propagation join and the
+outer join) and Catalyst re-analyzes the whole history each pass —
+the classic iterative-algorithm trap. On a real cluster swap
+localCheckpoint for reliable checkpoint/parquet commits
+(localCheckpoint pins blocks to executors and dies with one).
+
+At 10^12 docs this is the standard large-star/small-star shape:
+O(E) work per pass, O(diameter) passes, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(pairs: DataFrame, a: str = "doc_a",
+                         b: str = "doc_b",
+                         max_iters: int = 32) -> DataFrame:
+    """(node, component) for every node in >= 1 pair; component =
+    min node id reachable. Deterministic for any partitioning."""
+    edges = (pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+             .unionByName(pairs.select(F.col(b).alias("u"),
+                                       F.col(a).alias("v")))
+             .persist())
+    labels = (edges.select(F.col("u").alias("node")).distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint())
+    prev = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        prop = (edges.join(labels, edges.v == F.col("node"))
+                .groupBy("u").agg(F.min("label").alias("nl")))
+        labels = (labels.join(prop, labels.node == prop.u, "left")
+                  .select(F.col("node"),
+                          F.least(F.col("label"),
+                                  F.coalesce(F.col("nl"),
+                                             F.col("label")))
+                          .alias("label")).localCheckpoint())
+        s = labels.agg(F.sum("label")).collect()[0][0]
+        if s == prev:
+            break
+        prev = s
+    edges.unpersist(False)
+    return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -509,7 +509,7 @@ def o_rel_top_orders_per_cust():
 from .queries_kernel import KERNEL_QUERIES  # noqa: E402
 from .queries_raster import RASTER_QUERIES  # noqa: E402
 from .queries_text import TEXT_QUERIES  # noqa: E402
-from .queries_web import WEB_QUERIES  # noqa: E402
+from .queries_web import WEB_QUERIES, WEB_TAIL  # noqa: E402
 
 # Redundant twins demoted past the driver's 50-entry sample window
 # (each driver-green in CORRECTNESS_r03.json; rotate back in — see the
@@ -577,12 +577,13 @@ QUERIES = {
     **_CORE,
     **{k: v for k, v in KERNEL_QUERIES.items() if k not in KERNEL_TAIL},
     **{k: v for k, v in TEXT_QUERIES.items() if k not in TEXT_TAIL},
-    **WEB_QUERIES,
+    **{k: v for k, v in WEB_QUERIES.items() if k not in WEB_TAIL},
     **RASTER_QUERIES,
-    # ---- tail: driver-green twins, rotation pool (see note above) ----
+    # ---- tail: driver-green twins + r4 additions awaiting rotation ----
     **_TAIL,
     **{k: v for k, v in KERNEL_QUERIES.items() if k in KERNEL_TAIL},
     **{k: v for k, v in TEXT_QUERIES.items() if k in TEXT_TAIL},
+    **{k: v for k, v in WEB_QUERIES.items() if k in WEB_TAIL},
 }
 
 

@@ -277,40 +277,13 @@ def q_dedup_components(spark, sf):
 
     Output: (doc_id, component) for every doc in >= 1 candidate pair;
     component == min doc_id reachable. Oracle = DuckDB recursive-CTE
-    transitive closure over the same pair graph."""
+    transitive closure over the same pair graph. The propagation loop
+    itself lives in operators/components.py (shared with the text
+    pipeline job's transitive near-dup pruning)."""
+    from .operators.components import connected_components
     register_tables(spark, sf)
-    pairs = _shingle_lsh_pairs(spark)
-    edges = (pairs.select(F.col("doc_a").alias("u"),
-                          F.col("doc_b").alias("v"))
-             .unionByName(pairs.select(F.col("doc_b").alias("u"),
-                                       F.col("doc_a").alias("v")))
-             .persist())
-    # localCheckpoint per pass TRUNCATES LINEAGE: without it the plan
-    # text doubles per iteration (labels appears under both the
-    # propagation join and the outer join) and Catalyst re-analyzes the
-    # whole history each pass — the classic iterative-algorithm trap.
-    # On a real cluster, swap for reliable checkpoint / parquet commits
-    # (localCheckpoint pins blocks to executors and dies with one).
-    labels = (edges.select(F.col("u").alias("node")).distinct()
-              .select("node", F.col("node").alias("label"))
-              .localCheckpoint())
-    prev = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(32):
-        prop = (edges.join(labels, edges.v == F.col("node"))
-                .groupBy("u").agg(F.min("label").alias("nl")))
-        labels = (labels.join(prop, labels.node == prop.u, "left")
-                  .select(F.col("node"),
-                          F.least(F.col("label"),
-                                  F.coalesce(F.col("nl"),
-                                             F.col("label")))
-                          .alias("label")).localCheckpoint())
-        s = labels.agg(F.sum("label")).collect()[0][0]
-        if s == prev:
-            break
-        prev = s
-    edges.unpersist(False)
-    return labels.select(F.col("node").alias("doc_id"),
-                         F.col("label").alias("component"))
+    cc = connected_components(_shingle_lsh_pairs(spark))
+    return cc.select(F.col("node").alias("doc_id"), "component")
 
 
 def o_dedup_components():

@@ -374,6 +374,170 @@ def o_pack_sequences():
  from cum"""
 
 
+# ------------------------------------------- URL canonicalization
+
+def q_url_canonical_dedup(spark, sf):
+    """URL canonicalization + dedup — the crawl-curation step that
+    collapses tracking-parameter/fragment/case variants of one page.
+    Variant set is derived deterministically from the pages fixture
+    (utm query strings, uppercased URLs, fragments); canonical form =
+    lowercase + strip from the first '?' or '#'. (Production rules
+    lowercase the HOST only; the fixture's paths are already
+    case-insensitive-unique so whole-URL lowercase is equivalent
+    here.) Output: canonical url, variant count, keeper page.
+
+    Scale shape: variants and canonicalization are scan-side
+    expressions; the only shuffle is the canonical-url groupBy with
+    map-side partial aggregation — exactly the exact-dedup shape."""
+    from . import sqlgen
+    pages = sqlgen.spark_view(spark, sf, "pages") \
+        .select("page_id", "url", "h64", "hy")
+    base = pages.select("page_id", F.col("url").alias("vurl"))
+    utm = (pages.where("h64 % 3 = 0")
+           .select("page_id",
+                   F.concat("url", F.lit("?utm_source=feed&id="),
+                            F.col("page_id").cast("string"))
+                   .alias("vurl")))
+    up = (pages.where("h64 % 5 = 0")
+          .select("page_id", F.upper("url").alias("vurl")))
+    frag = (pages.where("hy % 7 = 0")
+            .select("page_id", F.concat("url", F.lit("#section"))
+                    .alias("vurl")))
+    variants = base.unionByName(utm).unionByName(up).unionByName(frag)
+    canon = F.lower(F.regexp_replace("vurl", "[?#].*$", ""))
+    return (variants.select("page_id", canon.alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("n_variants"),
+                 F.min("page_id").alias("keeper_page_id")))
+
+
+def o_url_canonical_dedup():
+    return (preamble("duckdb", layers=False) + """
+ , variants as (
+   select page_id, url as vurl from pages
+   union all
+   select page_id, concat(url, '?utm_source=feed&id=',
+                          cast(page_id as string)) from pages
+   where h64 % 3 = 0
+   union all
+   select page_id, upper(url) from pages where h64 % 5 = 0
+   union all
+   select page_id, concat(url, '#section') from pages where hy % 7 = 0)
+ select lower(regexp_replace(vurl, '[?#].*$', '')) as canonical_url,
+        cast(count(*) as bigint) as n_variants,
+        min(page_id) as keeper_page_id
+ from variants group by 1""")
+
+
+# ------------------------------- exact length quantiles (histogram)
+
+def q_text_length_quantiles(spark, sf):
+    """EXACT token-length quantiles per language (p50/p90/p99, rank =
+    ceil(q*n)) — the corpus-profiling stat behind length-filter
+    thresholds. Computed from a VALUE HISTOGRAM, not a sort: groupBy
+    (lang, n_tok) with map-side combine, then a window cumsum over the
+    histogram rows. At 100 TB the corpus never sorts and never
+    shuffles — only the (langs x distinct lengths)-sized histogram
+    does. Exact, deterministic, and cross-engine (integer ranks; no
+    approx_percentile, whose sketch is impl-defined)."""
+    register_tables(spark, sf)
+    from pyspark.sql.window import Window
+    d = spark.table("documents").select(
+        "lang", F.expr("size(split(text, ' '))").alias("n_tok"))
+    h = d.groupBy("lang", "n_tok").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("lang").orderBy("n_tok")
+    wn = Window.partitionBy("lang")
+    cum = (h.withColumn("cum", F.sum("c").over(wc))
+           .withColumn("n", F.sum("c").over(wn)))
+
+    def pick(q):
+        rank = F.floor((F.lit(q) * F.col("n") + 99) / 100.0)
+        return F.min(F.when(F.col("cum") >= rank, F.col("n_tok"))) \
+            .cast("int").alias(f"p{q}")
+
+    return cum.groupBy("lang").agg(
+        pick(50), pick(90), pick(99),
+        F.min("n").cast("bigint").alias("n_docs"))
+
+
+def o_text_length_quantiles():
+    def pick(q):
+        return (f"cast(min(case when cum >= floor(({q} * n + 99)"
+                f" / 100.0) then n_tok end) as int) as p{q}")
+
+    return f"""
+ with d as (select lang, len(string_split(text, ' ')) as n_tok
+            from documents),
+ h as (select lang, n_tok, count(*) as c from d group by 1, 2),
+ cum as (select lang, n_tok,
+                sum(c) over (partition by lang order by n_tok) as cum,
+                sum(c) over (partition by lang) as n
+         from h)
+ select lang, {pick(50)}, {pick(90)}, {pick(99)},
+        cast(min(n) as bigint) as n_docs
+ from cum group by lang"""
+
+
+# ------------------------------------------- curation funnel stats
+
+def q_corpus_filter_stats(spark, sf):
+    """The curation FUNNEL materialized: exact-dup removal (keeper =
+    min doc_id per md5(text)) then length filter (10 <= n_tok <=
+    2000), with per-language accounting of kept docs/tokens and drop
+    reasons (dup wins over len when both apply). This is the
+    composition query a pipeline runs to produce its keep-list and its
+    curation report in one pass.
+
+    Scale shape: one shuffle keyed by content hash (uniform — no skew
+    by construction) for the keeper window; the lang rollup aggregates
+    map-side."""
+    register_tables(spark, sf)
+    from pyspark.sql.window import Window
+    d = spark.table("documents").select(
+        "lang", "doc_id", F.md5("text").alias("m"),
+        F.expr("size(split(text, ' '))").alias("n_tok"))
+    w = Window.partitionBy("m").orderBy("doc_id")
+    s = (d.withColumn("rn", F.row_number().over(w))
+         .withColumn("st", F.when(F.col("rn") > 1, "dup")
+                     .when((F.col("n_tok") < 10)
+                           | (F.col("n_tok") > 2000), "len")
+                     .otherwise("keep")))
+
+    def cnt(st):
+        return F.sum(F.when(F.col("st") == st, 1).otherwise(0)) \
+            .cast("bigint")
+
+    return s.groupBy("lang").agg(
+        cnt("keep").alias("n_kept"),
+        F.sum(F.when(F.col("st") == "keep", F.col("n_tok"))
+              .otherwise(0)).cast("bigint").alias("tok_kept"),
+        cnt("dup").alias("n_dup_dropped"),
+        cnt("len").alias("n_len_dropped"))
+
+
+def o_corpus_filter_stats():
+    return """
+ with d as (select lang, doc_id, md5(text) as m,
+                   len(string_split(text, ' ')) as n_tok
+            from documents),
+ r as (select *, row_number() over (partition by m order by doc_id)
+              as rn from d),
+ s as (select lang, n_tok,
+              case when rn > 1 then 'dup'
+                   when n_tok < 10 or n_tok > 2000 then 'len'
+                   else 'keep' end as st from r)
+ select lang,
+        cast(sum(case when st = 'keep' then 1 else 0 end) as bigint)
+          as n_kept,
+        cast(sum(case when st = 'keep' then n_tok else 0 end)
+             as bigint) as tok_kept,
+        cast(sum(case when st = 'dup' then 1 else 0 end) as bigint)
+          as n_dup_dropped,
+        cast(sum(case when st = 'len' then 1 else 0 end) as bigint)
+          as n_len_dropped
+ from s group by lang"""
+
+
 WEB_QUERIES = {
     "pages_host_rollup": (q_pages_host_rollup, o_pages_host_rollup),
     "pages_split_assign": (q_pages_split_assign, o_pages_split_assign),
@@ -384,4 +548,14 @@ WEB_QUERIES = {
     "spatial_cell_pyramid": (q_spatial_cell_pyramid,
                              o_spatial_cell_pyramid),
     "pack_sequences": (q_pack_sequences, o_pack_sequences),
+    "url_canonical_dedup": (q_url_canonical_dedup, o_url_canonical_dedup),
+    "text_length_quantiles": (q_text_length_quantiles,
+                              o_text_length_quantiles),
+    "corpus_filter_stats": (q_corpus_filter_stats, o_corpus_filter_stats),
 }
+
+# r4 additions awaiting their first driver-sampled round — kept past
+# slot 50 by dle.queries (the CORE window is full this round); rotate
+# into CORE next round.
+WEB_TAIL = {"url_canonical_dedup", "text_length_quantiles",
+            "corpus_filter_stats"}

@@ -53,13 +53,20 @@ def main():
                   .agg(F.min("doc_id").alias("doc_id"))
                   .select("doc_id"))
 
-    # 2) near-dup prune: among verified near-dup pairs (exact 3-gram
-    # Jaccard >= threshold on shingle-minhash candidates), drop the
-    # higher doc_id. Integer threshold math: 100*inter >= pct*union.
+    # 2) near-dup prune, TRANSITIVELY: verified near-dup pairs (exact
+    # 3-gram Jaccard >= threshold on shingle-minhash candidates;
+    # integer math: 100*inter >= pct*union) -> connected components ->
+    # keep only each group's min doc_id. Pairwise doc_b-dropping
+    # under-prunes chains (a~b, b~c keeps a AND would keep c if the
+    # (a,c) pair was never a candidate); the component keeper is the
+    # production rule.
+    from dle.operators.components import connected_components
     jac = qt.q_dedup_ngram_jaccard(spark, docs_path)
     near = jac.where(100 * F.col("n_inter")
                      >= jacc_pct * F.col("n_union"))
-    drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    cc = connected_components(near)
+    drop = cc.where(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias("doc_id"))
     after_near = keep_exact.join(drop, "doc_id", "left_anti")
 
     # 3) repetition-quality filter (Gopher-style): drop boilerplate/

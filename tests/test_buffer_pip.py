@@ -103,6 +103,63 @@ def test_points_in_rings_matches_area_predicate_fuzz():
         assert got.tolist() == want.tolist()
 
 
+def test_buffer_morphology_properties_fuzz_rectilinear():
+    """Mathematical-morphology invariants on random rect unions —
+    rectilinear integer geometry snaps EXACTLY at the kernel grid, so
+    the invariants hold strictly, including set containment: dilation
+    grows, erosion shrinks, closing ⊇ original, opening ⊆ original."""
+    rng = np.random.RandomState(11)
+    for _ in range(15):
+        rings = []
+        for _ in range(rng.randint(1, 6)):
+            x0, y0 = rng.randint(0, 180, size=2)
+            w, h = rng.randint(3, 60, size=2)
+            rings += K.rect_rings(float(x0), float(y0),
+                                  float(x0 + w), float(y0 + h))
+        r = float(rng.randint(1, 10))
+        base = K.boolean(rings, [], "a", 0.1)
+        a0 = K.area(base)
+        dil = K.dilate(rings, r)
+        ero = K.erode(rings, r)
+        assert K.area(dil) >= a0 - 1e-6
+        assert K.area(ero) <= a0 + 1e-6
+        closing = K.erode(dil, r)
+        opening = K.dilate(ero, r)
+        assert K.area(closing) >= a0 - 1e-6
+        assert K.area(opening) <= a0 + 1e-6
+        # strict set containment (exact on rectilinear integers)
+        assert K.boolean_area(base, closing, "diff", 0.1) <= 1e-6
+        assert K.boolean_area(opening, base, "diff", 0.1) <= 1e-6
+
+
+def test_buffer_morphology_area_fuzz_slanted():
+    """The same growth/shrink invariants on SLANTED ring soups, with
+    tolerance scaled to the known re-snap drift (each boolean re-snaps
+    grid-quantized geometry; drift per op is bounded by
+    ~perimeter * grid / 2 — see the kernel-fuzz suite)."""
+    rng = np.random.RandomState(13)
+    grid = 0.1
+    for _ in range(12):
+        rings = []
+        for _ in range(rng.randint(1, 5)):
+            pts = rng.randint(0, 200, size=(rng.randint(3, 7), 2)) \
+                .astype(float)
+            rings.append(np.vstack([pts, pts[:1]]))
+        r = float(rng.randint(1, 10))
+        base = K.boolean(rings, [], "a", grid)
+        a0 = K.area(base)
+        perim = sum(
+            float(np.sum(np.hypot(np.diff(rg[:, 0]), np.diff(rg[:, 1]))))
+            for rg in base)
+        tol = 3.0 * perim * grid + 1e-6  # several snap rounds of slack
+        dil = K.dilate(rings, r)
+        ero = K.erode(rings, r)
+        assert K.area(dil) >= a0 - tol
+        assert K.area(ero) <= a0 + tol
+        assert K.area(K.erode(dil, r)) >= a0 - tol   # closing ⊇ ~original
+        assert K.area(K.dilate(ero, r)) <= a0 + tol  # opening ⊆ ~original
+
+
 # ---------------------------------------------------------- operators
 
 def test_pip_join_polygons_triangles(spark):

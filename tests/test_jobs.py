@@ -1,0 +1,42 @@
+"""CLI job + components-operator coverage (round 4)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_connected_components_chain_and_island(spark):
+    """Chain a-b-c collapses to one component under min-label
+    propagation (transitive), island pair stays separate; nodes in no
+    pair are absent."""
+    from dle.operators.components import connected_components
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (20, 21)], "doc_a bigint, doc_b bigint")
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {2: 2, 5: 2, 9: 2, 20: 20, 21: 20}
+
+
+def test_text_pipeline_job_end_to_end(tmp_path):
+    """The spark-submit entry point runs the full curation funnel
+    (exact dedup -> transitive near-dup components -> repetition
+    filter -> stats -> packing) and reports a consistent funnel."""
+    out_dir = tmp_path / "curated"
+    res = subprocess.run(
+        [sys.executable, "jobs/text_pipeline_job.py",
+         "/root/testdata/sf0.001", str(out_dir), "80", "90", "512"],
+        capture_output=True, text=True, cwd=REPO, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [ln for ln in res.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    j = json.loads(line)
+    assert 0 < j["docs_out"] <= j["after_exact_dedup"] <= j["docs_in"]
+    assert j["near_dup_dropped"] >= 0
+    assert j["packed_sequences"] >= 1
+    files = list(out_dir.glob("*.parquet"))
+    assert files, "curated parquet written"
