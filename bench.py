@@ -24,22 +24,25 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from dle import queries as q  # noqa: E402
 from dle.session import get_spark  # noqa: E402
 
-# HEADLINE is a representative subset, not the full 60+ registry.
-# Deliberately OMITTED for suite cost (VERDICT r3 #3): redundant twins
-# (spatial_knn brute — pruned is hash-identical; ann_lsh_buckets /
+# HEADLINE is a representative subset, not the full 70+ registry.
+# Deliberately OMITTED for suite cost (VERDICT r3 #3; the suite must
+# stay comfortably under ~120 s at sf0.1 on a shared box): redundant
+# twins (spatial_knn brute — pruned is hash-identical; spatial_cell_
+# assign — every pip gate assigns cells anyway; ann_lsh_buckets /
 # ann_ivf_topk — subsumed by ann_lsh_topk / ann_ivf_trained_topk;
 # multimodal_pipeline_stats / multimodal_resize_stats — decode_stats
 # covers the decode path; events_sliding_window / events_sessions —
-# window_stats covers the windowed-agg path; asof_click_forward —
-# nearest covers the cogrouped searchsorted; overlay_precedence_area_1d
-# — the 42-layer variant is the scale case; overlay_planarize_labels_1d
-# — coverage is the same planarize pass), the constant-output qa row
-# qa_planarized_totals, and pipeline_resume_rollup (it measures
-# checkpoint I/O, not engine throughput). Correctness for every omitted
-# query is still driver-gated (CORRECTNESS_r*.json) or replicable via
+# window_stats covers the windowed-agg path; asof_click_purchase /
+# _forward — nearest covers the cogrouped searchsorted;
+# overlay_precedence_area_1d — the 42-layer variant is the scale case;
+# overlay_planarize_labels_1d — coverage is the same planarize pass;
+# spatial_polygon_precedence — pip_polygon runs the same join), the
+# constant-output qa row qa_planarized_totals, and
+# pipeline_resume_rollup (it measures checkpoint I/O, not engine
+# throughput). Correctness for every omitted query is still
+# driver-gated (CORRECTNESS_r*.json) or replicable via
 # tools/check_oracle.py.
 HEADLINE = [
-    "spatial_cell_assign",
     "spatial_pip_join",
     "spatial_pip_precedence",
     "spatial_restriction_max",
@@ -55,7 +58,6 @@ HEADLINE = [
     "overlay_dissolve_area_1d",
     "overlay_intersect_pairs",
     "overlay_clip_area",
-    "overlay_precedence_area_1d",
     "boundary_build_area",
     "overlay_planarize_coverage_1d",
     "dedup_exact",
@@ -63,10 +65,8 @@ HEADLINE = [
     "dedup_simhash",
     "text_stats",
     "ann_cosine_topk",
-    "ann_lsh_buckets",
     "ann_lsh_topk",
     "events_window_stats",
-    "asof_click_purchase",
     # r3 additions (keep appended so round-over-round common-query
     # comparisons stay clean)
     "dedup_ngram_jaccard",
