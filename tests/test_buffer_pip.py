@@ -192,6 +192,37 @@ def test_pip_join_polygons_triangles(spark):
     assert got == sorted(want)
 
 
+def test_pip_join_polygons_with_holes_both_modes(spark):
+    """Operator-level hole semantics: a donut feature must match ring
+    points but not hole points — in both the broadcast and the
+    shuffle-join physical modes."""
+    from dle.config import XMIN, YMIN
+    from dle.operators.spatial_join import pip_join_polygons
+
+    x0, y0 = XMIN + 100_000.0, YMIN + 100_000.0
+    shell = np.array([[x0, y0], [x0 + 80_000, y0],
+                      [x0 + 80_000, y0 + 80_000], [x0, y0 + 80_000],
+                      [x0, y0]])
+    hole = np.array([[x0 + 20_000, y0 + 20_000], [x0 + 20_000, y0 + 60_000],
+                     [x0 + 60_000, y0 + 60_000], [x0 + 60_000, y0 + 20_000],
+                     [x0 + 20_000, y0 + 20_000]])  # CW inner ring
+    polys = spark.createDataFrame(
+        [(1, x0, y0, x0 + 80_000, y0 + 80_000,
+          bytearray(W.polygon_wkb([shell, hole])))],
+        "feat_id int, x0 double, y0 double, x1 double, y1 double,"
+        " geom binary")
+    pts = spark.createDataFrame(
+        [(1, x0 + 10_000.5, y0 + 10_000.5),   # ring: inside
+         (2, x0 + 40_000.5, y0 + 40_000.5),   # hole: outside
+         (3, x0 + 70_000.5, y0 + 40_000.5),   # ring: inside
+         (4, x0 + 90_000.5, y0 + 40_000.5)],  # beyond bbox: outside
+        "pid int, px double, py double")
+    for bc in (True, False):
+        got = sorted(r["pid"] for r in pip_join_polygons(
+            pts, polys, 7, broadcast_polys=bc).collect())
+        assert got == [1, 3], f"broadcast_polys={bc}"
+
+
 def test_buffer_geoms_drops_eroded_away_rows(spark):
     from dle.operators.overlay import buffer_geoms, with_area
     rows = [(1, bytearray(W.polygon_wkb(K.rect_rings(0, 0, 1000, 1000)))),
