@@ -35,9 +35,8 @@ from dle.session import get_spark  # noqa: E402
 # window_stats covers the windowed-agg path; asof_click_purchase /
 # _forward — nearest covers the cogrouped searchsorted;
 # overlay_precedence_area_1d — the 42-layer variant is the scale case;
-# overlay_planarize_labels_1d — coverage is the same planarize pass;
-# spatial_polygon_precedence — pip_polygon runs the same join), the
-# constant-output qa row qa_planarized_totals, and
+# overlay_planarize_labels_1d — coverage is the same planarize pass),
+# the constant-output qa row qa_planarized_totals, and
 # pipeline_resume_rollup (it measures checkpoint I/O, not engine
 # throughput). Correctness for every omitted query is still
 # driver-gated (CORRECTNESS_r*.json) or replicable via
@@ -96,6 +95,7 @@ HEADLINE = [
     "url_canonical_dedup",
     "text_length_quantiles",
     "corpus_filter_stats",
+    "spatial_polygon_precedence",
 ]
 
 

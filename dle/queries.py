@@ -348,20 +348,25 @@ def o_spatial_pip_polygon():
 
 
 def q_spatial_polygon_precedence(spark, sf):
-    """A5 precedence semantics over NON-RECTANGULAR layers: the winning
-    designation per point is argmin (process_order, feat_id) over the
-    containing triangles from the exact polygon join — proves the
-    precedence fold composes with the winding refine, not just the
-    rect fast path."""
+    """A5 precedence semantics over NON-RECTANGULAR layers, through
+    the ZERO-POINT-EXCHANGE fold (pip_polygon_precedence_fold): the
+    winning designation per point is argmin (process_order, feat_id)
+    over the containing triangles, decided by the exact winding test
+    INSIDE the point scan — the polygon analogue of the rect path's
+    in-scan fold. The only exchange in the plan is the tiny
+    feature-index groupBy. (The pair-emit + groupBy form stays
+    covered via pip_join_polygons in the spatial_pip_polygon gate +
+    pytest.)"""
     from . import datagen
-    from .operators.spatial_join import (
-        pip_join_polygons, precedence_resolve,
-    )
+    from .operators.spatial_join import pip_polygon_precedence_fold
     pts = _points(spark, sf).select("page_id", "cand_i", "px", "py")
     tris = datagen.tris_poly(spark, sf)
-    pairs = pip_join_polygons(pts, tris, D)
-    won = precedence_resolve(pairs, ["page_id", "cand_i"])
-    return won.select("page_id", "cand_i", "process_order", "feat_id")
+    out = pip_polygon_precedence_fold(pts, tris, D)
+    return (out.where(F.col("win_process_order").isNotNull())
+            .select("page_id", "cand_i",
+                    F.col("win_process_order").cast("int")
+                    .alias("process_order"),
+                    F.col("win_feat_id").alias("feat_id")))
 
 
 def o_spatial_polygon_precedence():
