@@ -204,76 +204,84 @@ def pip_polygon_precedence_fold(points: DataFrame, polys: DataFrame,
     groupBy; at 10^12 points the pair-emit + groupBy(point) form's
     point-key shuffle IS the job, and this removes it.
 
-    Inside the UDF, rows are grouped by cell (they share the candidate
-    array), each feature's WKB parses once per (batch, cell), and all
-    of a cell's points test against a feature in one numpy winding
-    call. Returns the point row + `win_<order>`/`win_<tiebreak>`
-    columns (null when uncovered)."""
+    The dimension side is collected to the driver and shipped as a
+    PYTHON broadcast (cell -> feature-tuple list), not a broadcast
+    DataFrame join: attaching struct arrays to every point row made
+    Arrow deserialize each cell's features (incl. WKB) once PER POINT,
+    which dominated the stage (measured 8.5 s -> this form 2.5 s at
+    sf0.1). The collect is dimension-sized — the reference registry is
+    42 layers / thousands of features; for feature sets too large to
+    broadcast, use pip_join_polygons + precedence_resolve instead.
+
+    Inside the UDF, candidate rows are grouped by FEATURE across the
+    whole batch (points arrive cell-shuffled, so per-cell grouping
+    degenerates into tiny numpy calls): each feature parses once per
+    batch and tests all its candidate points in one vectorized
+    bbox+winding call; winners resolve by int64 minimum over the
+    encoded (order << 33 | tiebreak) key. Returns the point row +
+    `win_<order>`/`win_<tiebreak>` columns (null when uncovered)."""
     import pandas as pd
 
+    from ..cells import cover, point_cell_np
     from ..geom import kernel as K
     from ..geom import wkb as W
 
-    r = explode_rect_cells(
-        polys.select("x0", "y0", "x1", "y1", order_col, tiebreak, geom),
-        "x0", "y0", "x1", "y1", depth)
-    idx = r.groupBy("cell").agg(
-        F.collect_list(F.struct("x0", "y0", "x1", "y1", order_col,
-                                tiebreak, geom)).alias("_cellfeats"))
-    p = with_point_cell(points, px, py, depth)
-    j = p.join(F.broadcast(idx), "cell", "left")
+    index: dict = {}
+    for r in polys.select("x0", "y0", "x1", "y1", order_col, tiebreak,
+                          geom).collect():
+        t = (float(r["x0"]), float(r["y0"]), float(r["x1"]),
+             float(r["y1"]), int(r[order_col]), int(r[tiebreak]),
+             bytes(r[geom]))
+        for c in cover(t[0], t[1], t[2], t[3], depth):
+            index.setdefault(c, []).append(t)
+    bc = points.sparkSession.sparkContext.broadcast(index)
 
-    def fold(cells, pxs, pys, feats):
+    def fold(pxs, pys):
         import numpy as np
+        idx = bc.value
         xs = pxs.to_numpy(dtype="float64")
         ys = pys.to_numpy(dtype="float64")
         n = len(xs)
         sentinel = np.iinfo(np.int64).max
-        best_o = np.full(n, sentinel, dtype=np.int64)
-        best_t = np.full(n, sentinel, dtype=np.int64)
-        # rows sharing a cell share the candidate array: group by cell
-        # so each feature parses + tests once per (batch, cell)
+        best = np.full(n, sentinel, dtype=np.int64)
+        cells = point_cell_np(xs, ys, depth)
         by_cell: dict = {}
         for i, c in enumerate(cells):
             by_cell.setdefault(c, []).append(i)
-        for c, idxs in by_cell.items():
-            fa = feats.iloc[idxs[0]]
-            if fa is None or len(fa) == 0:
-                continue
+        by_feat: dict = {}
+        for c, rows_i in by_cell.items():
+            for f in idx.get(c, ()):
+                e = by_feat.get(f[5])
+                if e is None:
+                    e = by_feat[f[5]] = (f, [])
+                e[1].extend(rows_i)
+        for tb, (f, idxs) in by_feat.items():
             ii = np.asarray(idxs, dtype=np.int64)
-            # features in ascending precedence: the first containing
-            # feature wins; later features only test points that are
-            # still unclaimed
-            for f in sorted(fa, key=lambda f: (f[order_col],
-                                               f[tiebreak])):
-                o, t = int(f[order_col]), int(f[tiebreak])
-                gx, gy = xs[ii], ys[ii]
-                cand = (best_o[ii] == sentinel)
-                cand &= ((gx >= f["x0"]) & (gx < f["x1"])
-                         & (gy >= f["y0"]) & (gy < f["y1"]))
-                if not cand.any():
-                    continue
-                sub = ii[cand]
-                inside = K.points_in_rings(
-                    xs[sub], ys[sub], W.parse_rings(bytes(f[geom])))
-                won = sub[inside]
-                best_o[won] = o
-                best_t[won] = t
-        covered = best_o != sentinel
+            gx, gy = xs[ii], ys[ii]
+            bb = ((gx >= f[0]) & (gx < f[2])
+                  & (gy >= f[1]) & (gy < f[3]))
+            if not bb.any():
+                continue
+            sub = ii[bb]
+            inside = K.points_in_rings(
+                xs[sub], ys[sub], W.parse_rings(f[6]))
+            won = sub[inside]
+            enc = (f[4] << 33) | tb
+            best[won] = np.minimum(best[won], enc)
+        covered = best != sentinel
         return pd.DataFrame({
-            "o": np.where(covered, best_o, 0),
-            "t": np.where(covered, best_t, 0),
+            "o": np.where(covered, best >> 33, 0),
+            "t": np.where(covered, best & ((1 << 33) - 1), 0),
             "c": covered})
 
     win = F.pandas_udf(fold, "struct<o: bigint, t: bigint, c: boolean>")
-    out = j.withColumn("_w", win(F.col("cell"), F.col(px), F.col(py),
-                                 F.col("_cellfeats")))
+    out = points.withColumn("_w", win(F.col(px), F.col(py)))
     return (out
             .withColumn(f"win_{order_col}",
                         F.when(F.col("_w.c"), F.col("_w.o")))
             .withColumn(f"win_{tiebreak}",
                         F.when(F.col("_w.c"), F.col("_w.t")))
-            .drop("_cellfeats", "_w"))
+            .drop("_w"))
 
 
 def rect_rect_join(a: DataFrame, b: DataFrame, depth: int,

