@@ -96,6 +96,7 @@ HEADLINE = [
     "text_length_quantiles",
     "corpus_filter_stats",
     "spatial_polygon_precedence",
+    "streaming_window_rollup",
 ]
 
 

@@ -527,7 +527,11 @@ TEXT_TAIL = {"ann_lsh_buckets", "ann_ivf_topk", "multimodal_pipeline_stats",
              # bucket histogram demoted for the r4 components gate
              # (shingle banding is exercised by ngram_jaccard +
              # components; rotate back next round)
-             "dedup_minhash_buckets"}
+             "dedup_minhash_buckets",
+             # batch twin demoted for the r4 STREAMING gate — the
+             # streaming drain checks the identical oracle, so the
+             # batch shape stays hash-verified through it
+             "events_window_stats"}
 
 # Registry ORDER IS LOAD-BEARING (VERDICT r3 #1): the driver's
 # correctness gate samples the FIRST 50 entries in insertion order.

@@ -1415,6 +1415,46 @@ def o_events_window_stats():
  from events group by 1, 2"""
 
 
+def q_streaming_window_rollup(spark, sf):
+    """STRUCTURED STREAMING through the correctness gate (J surface):
+    the watermarked tumbling-window aggregation drained over the
+    bounded events table with trigger(availableNow) into a memory
+    sink, re-shaped to the batch twin's schema. Oracle = the batch
+    SQL — on bounded input the streaming drain must equal the batch
+    aggregation EXACTLY (multi-drain resume and late-data drop
+    semantics are additionally pytest-proven in
+    tests/test_streaming_stateful.py). Each invocation drains from a
+    fresh checkpoint, so results are reproducible; the returned frame
+    reads the materialized in-memory sink table."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from .streaming.stateful import EVENTS_SCHEMA
+    ck = tempfile.mkdtemp(prefix="dle_stream_gate_")
+    # file-source streaming needs a DIRECTORY: stream the sf dir with
+    # a glob filter (driver tables are single files, not dirs)
+    ev = (spark.readStream.format("parquet").schema(EVENTS_SCHEMA)
+          .option("pathGlobFilter", "events.parquet")
+          .load(sf)
+          .withWatermark("ts", "1 hour"))
+    agg = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+                .alias("_c")))
+    name = "dle_stream_gate_" + Path(ck).name.split("_")[-1]
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    shutil.rmtree(ck, ignore_errors=True)  # sink table is in-session
+    return spark.table(name).select(
+        F.expr("cast(floor(cast(unix_timestamp(w.start) as bigint)"
+               " / 3600) as bigint)").alias("window_id"),
+        "event_type", "n",
+        (F.col("_c") / 100.0).alias("sum_value"))
+
+
 def q_events_sliding_window(spark, sf):
     """Hopping/sliding window (2 h window, 1 h hop): each event lands
     in exactly two windows. Engine path uses Spark's native window()
@@ -1658,6 +1698,8 @@ TEXT_QUERIES = {
     "multimodal_decode_stats": (q_multimodal_decode_stats,
                                 o_multimodal_decode_stats),
     "events_window_stats": (q_events_window_stats, o_events_window_stats),
+    "streaming_window_rollup": (q_streaming_window_rollup,
+                                o_events_window_stats),
     "events_sliding_window": (q_events_sliding_window,
                               o_events_sliding_window),
     "events_sessions": (q_events_sessions, o_events_sessions),
