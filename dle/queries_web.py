@@ -538,6 +538,61 @@ def o_corpus_filter_stats():
  from s group by lang"""
 
 
+# ------------------------------------- deterministic stratified sample
+
+# per-language sampling rates in permille (example strata: downsample
+# the head language, keep more of the tail)
+_SAMPLE_PERMILLE = {"en": 300, "de": 600, "fr": 600}
+_SAMPLE_DEFAULT = 900
+
+
+def q_corpus_sample_stratified(spark, sf):
+    """Deterministic STRATIFIED sampling — the reproducible-subset
+    primitive every corpus pipeline needs: a doc is kept iff
+    md5(doc_id) mod 1000 < rate(lang), so the same document lands in
+    the sample on any cluster size, with no RNG state and no
+    sampleBy() nondeterminism. Output: per-lang accounting (docs/
+    tokens in and sampled) proving each stratum's realized rate.
+
+    Scale shape: pure scan-side hash arithmetic + a per-lang
+    aggregate with map-side combine — zero extra shuffles."""
+    from .sqlgen import hex2int
+    register_tables(spark, sf)
+    bucket = F.expr(
+        f"{hex2int('cast(doc_id as string)', 'spark')} % 1000")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == lg, F.lit(pm))
+          for lg, pm in sorted(_SAMPLE_PERMILLE.items())],
+        F.lit(_SAMPLE_DEFAULT))
+    d = spark.table("documents").select(
+        "lang", F.expr("size(split(text, ' '))").alias("n_tok"),
+        (bucket < rate).alias("keep"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint")
+        .alias("n_sampled"),
+        F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0))
+        .cast("bigint").alias("tok_sampled"))
+
+
+def o_corpus_sample_stratified():
+    from .sqlgen import hex2int
+    whens = " ".join(f"when lang = '{lg}' then {pm}"
+                     for lg, pm in sorted(_SAMPLE_PERMILLE.items()))
+    return f"""
+ with d as (
+   select lang, len(string_split(text, ' ')) as n_tok,
+          ({hex2int("cast(doc_id as string)", "duckdb")}) % 1000
+            < (case {whens} else {_SAMPLE_DEFAULT} end) as keep
+   from documents)
+ select lang, cast(count(*) as bigint) as n_docs,
+        cast(sum(case when keep then 1 else 0 end) as bigint)
+          as n_sampled,
+        cast(sum(case when keep then n_tok else 0 end) as bigint)
+          as tok_sampled
+ from d group by lang"""
+
+
 WEB_QUERIES = {
     "pages_host_rollup": (q_pages_host_rollup, o_pages_host_rollup),
     "pages_split_assign": (q_pages_split_assign, o_pages_split_assign),
@@ -552,10 +607,12 @@ WEB_QUERIES = {
     "text_length_quantiles": (q_text_length_quantiles,
                               o_text_length_quantiles),
     "corpus_filter_stats": (q_corpus_filter_stats, o_corpus_filter_stats),
+    "corpus_sample_stratified": (q_corpus_sample_stratified,
+                                 o_corpus_sample_stratified),
 }
 
 # r4 additions awaiting their first driver-sampled round — kept past
 # slot 50 by dle.queries (the CORE window is full this round); rotate
 # into CORE next round.
 WEB_TAIL = {"url_canonical_dedup", "text_length_quantiles",
-            "corpus_filter_stats"}
+            "corpus_filter_stats", "corpus_sample_stratified"}
