@@ -82,6 +82,25 @@ def test_tile_geoms_has_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_polygon_fold_has_no_point_exchange(spark):
+    """r4: the polygon precedence fold ships the dimension side as a
+    driver-built Python broadcast, so the POINT plan must contain no
+    exchange at all — no hash shuffle, no broadcast-DF join (a
+    regression to the join form re-introduces per-row Arrow
+    deserialization of the feature arrays; see
+    pip_polygon_precedence_fold's docstring)."""
+    from dle import datagen
+    from dle.operators.spatial_join import pip_polygon_precedence_fold
+    pts = spark.createDataFrame(
+        [(1, 0, 1000.5, 1000.5)],
+        "page_id bigint, cand_i int, px double, py double")
+    tris = datagen.tris_poly(spark, SF)
+    plan = _plan(pip_polygon_precedence_fold(pts, tris, 7))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ArrowEvalPython" in plan  # the winding fold runs scan-side
+
+
 def test_ann_lsh_topk_plan_shape(spark):
     """Bucketed ANN: candidate generation must be broadcast equi-joins
     (query side tiny), never a cartesian product of the corpus."""
