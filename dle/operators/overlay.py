@@ -257,9 +257,26 @@ def clip(df_a: DataFrame, df_b: DataFrame, depth: int,
 
 # ------------------------------------------- precedence (A5/A6)
 
+def _aggregate_multi(src: DataFrame, geom: str, grid: float) -> DataFrame:
+    """A6 pre-aggregation: union `src` per (cell, every attribute
+    column) into ONE multipart row per group — the reference's
+    aggregated_insert_difference src CTE (/root/reference/sql/
+    aggregated_insert_difference.sql:16-30) — and stamp `agg_id`, a
+    DETERMINISTIC synthetic id (md5 of the group key values) replacing
+    the reference's nondeterministic `row_number() over ()` (:22).
+    Multipart geometry stays in one row (no ST_Dump)."""
+    keys = [c for c in src.columns if c != geom]
+    agg = dissolve(src, keys, geom=geom, grid=grid)
+    return agg.withColumn(
+        "agg_id",
+        F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                    for c in keys])))
+
+
 def insert_difference(existing: DataFrame | None, src: DataFrame,
                       geom: str = "geom", grid: float = GRID,
-                      sliver: float = SLIVER_AREA) -> DataFrame:
+                      sliver: float = SLIVER_AREA,
+                      keep_multi: bool = False) -> DataFrame:
     """A5 insert_difference: the part of `src` NOT already covered by
     `existing`, per cell (/root/reference/sql/insert_difference.sql).
     Both inputs must already be tiled (have `cell`). Returns only the
@@ -269,7 +286,19 @@ def insert_difference(existing: DataFrame | None, src: DataFrame,
     reference's per-src-id union of intersecting outputs,
     insert_difference.sql:45-53, because differencing against
     non-intersecting geometry is a no-op). Slivers with area <= 10 m^2
-    are discarded (insert_difference.sql:75)."""
+    are discarded (insert_difference.sql:75).
+
+    `keep_multi=True` is the A6 aggregated_insert_difference variant
+    (/root/reference/sql/aggregated_insert_difference.sql): `src` is
+    first unioned per (cell, attributes) into one MULTIPOLYGON row per
+    group with a deterministic `agg_id` (see _aggregate_multi), no
+    part dump, and the output keeps multipart rows. The reference's
+    `GeometryType(geom) = 'MULTIPOLYGON'` output filter (:114) —
+    which strips line/point debris PostGIS difference can emit — is
+    structural here: the slab kernel only ever emits polygonal rings,
+    and the existing area > sliver filter drops degenerate output."""
+    if keep_multi:
+        src = _aggregate_multi(src, geom, grid)
     if existing is None:
         return src
     out_schema = _schema_of(src)
@@ -302,7 +331,8 @@ def insert_difference(existing: DataFrame | None, src: DataFrame,
 
 def insert_difference_fused(src: DataFrame, order_col: str = "process_order",
                             geom: str = "geom", grid: float = GRID,
-                            sliver: float = SLIVER_AREA) -> DataFrame:
+                            sliver: float = SLIVER_AREA,
+                            keep_multi: bool = False) -> DataFrame:
     """A5/A6 with the layer loop FUSED into one shuffle: because
     insert_difference is per-cell independent (tiled inputs never
     interact across cells), the ascending-process_order accumulate-and-
@@ -314,7 +344,14 @@ def insert_difference_fused(src: DataFrame, order_col: str = "process_order",
     geometry (the loop unions each round's NEW rows into `existing`),
     and sliver drops (<= sliver m^2, insert_difference.sql:75) remove
     the row from both the output and the accumulator. Wall clock is
-    one wide stage instead of L barriers."""
+    one wide stage instead of L barriers.
+
+    `keep_multi=True` = the A6 aggregated variant (see
+    insert_difference): pre-union per (cell, attributes) with a
+    deterministic `agg_id`, multipart rows kept whole, polygonal-only
+    output guaranteed structurally by the kernel."""
+    if keep_multi:
+        src = _aggregate_multi(src, geom, grid)
     out_schema = _schema_of(src)
     cols = list(src.columns)
     _acc = telemetry.capture()

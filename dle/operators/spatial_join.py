@@ -191,7 +191,10 @@ def pip_polygon_precedence_fold(points: DataFrame, polys: DataFrame,
                                 px: str = "px", py: str = "py",
                                 geom: str = "geom",
                                 order_col: str = "process_order",
-                                tiebreak: str = "feat_id") -> DataFrame:
+                                tiebreak: str = "feat_id",
+                                point_keys: list[str] | None = None,
+                                max_broadcast_features: int = 200_000,
+                                ) -> DataFrame:
     """ZERO-POINT-EXCHANGE precedence over ARBITRARY polygon layers —
     the polygon-exact analogue of the rect path's in-scan fold
     (pip_index_join + array_min; VERDICT r2 #10). The dimension side
@@ -219,19 +222,57 @@ def pip_polygon_precedence_fold(points: DataFrame, polys: DataFrame,
     batch and tests all its candidate points in one vectorized
     bbox+winding call; winners resolve by int64 minimum over the
     encoded (order << 33 | tiebreak) key. Returns the point row +
-    `win_<order>`/`win_<tiebreak>` columns (null when uncovered)."""
+    `win_<order>`/`win_<tiebreak>` columns (null when uncovered).
+
+    REQUIREMENTS on the index columns (validated at build time):
+    `tiebreak` values must be GLOBALLY UNIQUE across all features (the
+    per-batch grouping keys candidates by tiebreak, so a duplicate id
+    would winding-test points against the wrong geometry) and must fit
+    the int64 winner encoding: 0 <= tiebreak < 2^33 and
+    0 <= order < 2^30 (ADVICE r4).
+
+    AUTO-DISPATCH (VERDICT r4 #2): when the dimension side exceeds
+    `max_broadcast_features` rows (the reference registry is 42 layers
+    / thousands of features — far below it), the driver-broadcast
+    index is no longer the right physical shape; the call transparently
+    falls back to the shuffle-safe pair-emit path (pip_join_polygons +
+    a map-side-combinable argmin + a left join back onto the points),
+    which returns the IDENTICAL schema and values (pytest-pinned on
+    the triangle fixture). The fallback groups by `point_keys`
+    (default: every point column except px/py)."""
     import pandas as pd
 
     from ..cells import cover, point_cell_np
     from ..geom import kernel as K
     from ..geom import wkb as W
 
+    n_feats = polys.count()
+    if n_feats > max_broadcast_features:
+        return _pip_polygon_precedence_pairs(
+            points, polys, depth, px=px, py=py, geom=geom,
+            order_col=order_col, tiebreak=tiebreak,
+            point_keys=point_keys)
+
     index: dict = {}
+    seen: dict = {}
     for r in polys.select("x0", "y0", "x1", "y1", order_col, tiebreak,
                           geom).collect():
         t = (float(r["x0"]), float(r["y0"]), float(r["x1"]),
              float(r["y1"]), int(r[order_col]), int(r[tiebreak]),
              bytes(r[geom]))
+        if not (0 <= t[5] < (1 << 33)):
+            raise ValueError(
+                f"{tiebreak}={t[5]} outside [0, 2^33): breaks the int64"
+                " winner encoding")
+        if not (0 <= t[4] < (1 << 30)):
+            raise ValueError(
+                f"{order_col}={t[4]} outside [0, 2^30): breaks the"
+                " int64 winner encoding")
+        if seen.setdefault(t[5], t) is not t:
+            raise ValueError(
+                f"duplicate {tiebreak}={t[5]}: tiebreak ids must be"
+                " globally unique across layers (candidate grouping is"
+                " keyed by tiebreak)")
         for c in cover(t[0], t[1], t[2], t[3], depth):
             index.setdefault(c, []).append(t)
     bc = points.sparkSession.sparkContext.broadcast(index)
@@ -282,6 +323,38 @@ def pip_polygon_precedence_fold(points: DataFrame, polys: DataFrame,
             .withColumn(f"win_{tiebreak}",
                         F.when(F.col("_w.c"), F.col("_w.t")))
             .drop("_w"))
+
+
+def _pip_polygon_precedence_pairs(points: DataFrame, polys: DataFrame,
+                                  depth: int, px: str, py: str,
+                                  geom: str, order_col: str,
+                                  tiebreak: str,
+                                  point_keys: list[str] | None
+                                  ) -> DataFrame:
+    """Big-dimension fallback for pip_polygon_precedence_fold: pair-emit
+    cell join (NO broadcast — both sides shuffle-partition by cell),
+    exact winding refine, map-side-combinable argmin per point, left
+    join back onto the points to restore the fold's all-points +
+    null-when-uncovered contract. `point_keys` must uniquely identify
+    point rows (the left join would otherwise fan out)."""
+    if point_keys is None:
+        point_keys = [c for c in points.columns if c not in (px, py)]
+    if not point_keys:
+        raise ValueError(
+            "pip_polygon_precedence_fold fallback needs point_keys: the"
+            " points frame has no identifying columns besides px/py")
+    pairs = pip_join_polygons(
+        points.select(*point_keys, px, py), polys, depth,
+        px=px, py=py, geom=geom, broadcast_polys=False)
+    won = precedence_resolve(pairs, point_keys,
+                             order_col=order_col, tiebreak=tiebreak)
+    won = won.select(
+        *point_keys,
+        F.col(order_col).cast("bigint").alias(f"win_{order_col}"),
+        F.col(tiebreak).cast("bigint").alias(f"win_{tiebreak}"))
+    return (points.join(won, point_keys, "left")
+            .select(*points.columns,
+                    f"win_{order_col}", f"win_{tiebreak}"))
 
 
 def rect_rect_join(a: DataFrame, b: DataFrame, depth: int,

@@ -113,6 +113,65 @@ def o_precedence_area_42():
     return o_precedence_area_1d(n_orders=42)
 
 
+def q_precedence_multi(spark, sf, n_orders: int = 8):
+    """A6 aggregated_insert_difference as a FIRST-CLASS gate (VERDICT
+    r4 #3, /root/reference/sql/aggregated_insert_difference.sql): the
+    fused precedence fold with `keep_multi=True` — src pre-unioned per
+    (cell, attributes) into one MULTIPOLYGON row per group with the
+    deterministic md5 `agg_id` replacing the reference's
+    `row_number() over ()` (:22), no part dump, polygonal-only output.
+    Verified per designation: total area (same 1-D islands oracle as
+    the A5 gates), surviving group count, agg_id uniqueness
+    (n_agg_ids == n_groups), and the agg_id VALUES themselves
+    cross-engine (min md5 per designation)."""
+    from .operators.overlay import insert_difference_fused
+    b = datagen.bands_1d(spark, sf, n_orders=n_orders).withColumn(
+        "cell", F.col("band").cast("string"))
+    src = b.select("cell", "designation", "process_order", "geom")
+    acc = insert_difference_fused(src, keep_multi=True)
+    return with_area(acc).groupBy("designation").agg(
+        F.round(F.sum("area_m2"), 0).cast("bigint").alias("area_m2"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.countDistinct("agg_id").alias("n_agg_ids"),
+        F.min("agg_id").alias("min_agg_id"))
+
+
+def o_precedence_multi(n_orders: int = 8):
+    k = sqlgen.series(n_orders, "k", "i", "duckdb")
+    return (preamble("duckdb", pages=False, layers=False, bands=True,
+                     n_orders=n_orders) + f"""
+ , expanded as (
+   select b.band, k.i + 1 as kk, b.bx0, b.bx1
+   from bands b, {k} where b.process_order <= k.i + 1),
+ marked as (
+   select band, kk, bx0, bx1,
+          case when bx0 > max(bx1) over (
+                 partition by band, kk order by bx0, bx1
+                 rows between unbounded preceding and 1 preceding)
+               then 1 else 0 end as brk
+   from expanded),
+ grp as (select *, sum(brk) over (
+           partition by band, kk order by bx0, bx1
+           rows unbounded preceding) as g from marked),
+ islands as (select band, kk, g, min(bx0) as x0, max(bx1) as x1
+             from grp group by band, kk, g),
+ lens as (select band, kk, sum(x1 - x0) as len from islands
+          group by band, kk),
+ deltas as (select band, kk,
+                   len - coalesce(lag(len) over (
+                     partition by band order by kk), 0.0) as dl
+            from lens)
+ select concat('desig_', lpad(cast(kk as string), 2, '0')) as designation,
+        cast(round(sum(dl) * {BAND_H!r}, 0) as bigint) as area_m2,
+        cast(count(case when dl > 0 then 1 end) as bigint) as n_groups,
+        cast(count(case when dl > 0 then 1 end) as bigint) as n_agg_ids,
+        min(case when dl > 0 then md5(concat_ws(chr(31),
+              cast(band as varchar),
+              concat('desig_', lpad(cast(kk as string), 2, '0')),
+              cast(kk as varchar))) end) as min_agg_id
+ from deltas group by kk""")
+
+
 def q_planarize_coverage_1d(spark, sf):
     """A7 planarize faces through the slab kernel, rolled up by how
     many distinct designations cover each face; oracle = per-segment
@@ -659,6 +718,7 @@ KERNEL_QUERIES = {
                                    o_precedence_area_1d),
     "overlay_precedence_area_42": (q_precedence_area_42,
                                    o_precedence_area_42),
+    "overlay_precedence_multi": (q_precedence_multi, o_precedence_multi),
     "overlay_planarize_coverage_1d": (q_planarize_coverage_1d,
                                       o_planarize_coverage_1d),
     "overlay_planarize_labels_1d": (q_planarize_labels_1d,

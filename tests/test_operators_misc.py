@@ -246,3 +246,69 @@ def test_range_join_plan_has_no_cartesian(spark):
     out = range_join(left, right2, "ts", "s", "e", bucket=100,
                      on=["k"]).collect()
     assert len(out) == 1
+
+
+def test_polygon_precedence_fold_branches_identical(spark):
+    """VERDICT r4 #2: the broadcast-index fold and the big-dimension
+    pair-emit fallback must return identical rows on the triangle
+    fixture (the fallback is forced via max_broadcast_features=0)."""
+    from dle import sqlgen
+    from dle.operators.spatial_join import pip_polygon_precedence_fold
+
+    pts = sqlgen.spark_view(spark, SF, "points").select(
+        "page_id", "cand_i", "px", "py")
+    tris = datagen.tris_poly(spark, SF)
+
+    def rows(df):
+        return sorted(
+            (r["page_id"], r["cand_i"], r["win_process_order"],
+             r["win_feat_id"]) for r in df.collect())
+
+    fold = rows(pip_polygon_precedence_fold(pts, tris, 5))
+    pairs = rows(pip_polygon_precedence_fold(
+        pts, tris, 5, max_broadcast_features=0,
+        point_keys=["page_id", "cand_i"]))
+    assert fold == pairs
+    assert any(r[2] is not None for r in fold)  # some points covered
+    assert any(r[2] is None for r in fold)      # null-when-uncovered
+
+
+def test_polygon_precedence_fold_validates_index(spark):
+    """ADVICE r4: duplicate tiebreak ids and encoding-overflow values
+    must be rejected at index-build time, not silently corrupted."""
+    import numpy as np
+
+    from dle.geom import wkb as W
+    from dle.operators.spatial_join import pip_polygon_precedence_fold
+    from dle.config import XMIN, YMIN
+
+    def tri(x0, y0):
+        return bytearray(W.polygon_wkb([np.array(
+            [[x0, y0], [x0 + 1000.0, y0], [x0, y0 + 1000.0], [x0, y0]],
+            dtype=np.float64)]))
+
+    pts = spark.createDataFrame(
+        [(1, 0, XMIN + 100.5, YMIN + 100.5)],
+        "page_id bigint, cand_i int, px double, py double")
+    schema = ("x0 double, y0 double, x1 double, y1 double, "
+              "process_order int, feat_id bigint, geom binary")
+
+    dup = spark.createDataFrame(
+        [(XMIN, YMIN, XMIN + 1000.0, YMIN + 1000.0, 1, 7,
+          tri(XMIN, YMIN)),
+         (XMIN, YMIN + 2000.0, XMIN + 1000.0, YMIN + 3000.0, 2, 7,
+          tri(XMIN, YMIN + 2000.0))], schema)
+    with pytest.raises(ValueError, match="unique"):
+        pip_polygon_precedence_fold(pts, dup, 5)
+
+    big_tb = spark.createDataFrame(
+        [(XMIN, YMIN, XMIN + 1000.0, YMIN + 1000.0, 1, 1 << 33,
+          tri(XMIN, YMIN))], schema)
+    with pytest.raises(ValueError, match="feat_id"):
+        pip_polygon_precedence_fold(pts, big_tb, 5)
+
+    big_po = spark.createDataFrame(
+        [(XMIN, YMIN, XMIN + 1000.0, YMIN + 1000.0, 1 << 30, 1,
+          tri(XMIN, YMIN))], schema)
+    with pytest.raises(ValueError, match="process_order"):
+        pip_polygon_precedence_fold(pts, big_po, 5)

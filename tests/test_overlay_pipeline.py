@@ -154,3 +154,59 @@ def test_pipeline_partition_invariance(spark, outputs):
          .agg(F.sum("area_m2").alias("ha")).collect()}
     for c in s:
         assert s[c] == pytest.approx(t[c], rel=1e-12)
+
+
+def test_keep_multi_fused_equals_loop(spark):
+    """VERDICT r4 #3: aggregated_insert_difference (keep_multi=True)
+    through the fused one-shuffle fold must equal the driver-loop form
+    (insert_difference per ascending order, keep_multi on the first
+    aggregation) — identical per-designation areas and group counts."""
+    from dle.operators.overlay import (insert_difference,
+                                       insert_difference_fused)
+    b = datagen.bands_1d(spark, SF).withColumn(
+        "cell", F.col("band").cast("string"))
+    src = b.select("cell", "designation", "process_order", "geom")
+
+    fused = with_area(insert_difference_fused(src, keep_multi=True))
+    f_rows = {(r["designation"],): (round(r["a"]), r["n"]) for r in
+              fused.groupBy("designation")
+              .agg(F.sum("area_m2").alias("a"),
+                   F.count(F.lit(1)).alias("n")).collect()}
+
+    orders = sorted(r["process_order"] for r in
+                    src.select("process_order").distinct().collect())
+    acc = None
+    for po in orders:
+        new = insert_difference(
+            acc, src.where(F.col("process_order") == po),
+            keep_multi=True)
+        acc = new if acc is None else acc.unionByName(new)
+    loop = with_area(acc)
+    l_rows = {(r["designation"],): (round(r["a"]), r["n"]) for r in
+              loop.groupBy("designation")
+              .agg(F.sum("area_m2").alias("a"),
+                   F.count(F.lit(1)).alias("n")).collect()}
+    assert f_rows == l_rows
+    assert len(f_rows) > 1
+
+
+def test_keep_multi_output_is_multipart_no_dump(spark):
+    """keep_multi must keep multipart geometry in ONE row per (cell,
+    attrs) group (no ST_Dump) with a unique deterministic agg_id."""
+    from dle.operators.overlay import insert_difference_fused
+    b = datagen.bands_1d(spark, SF).withColumn(
+        "cell", F.col("band").cast("string"))
+    src = b.select("cell", "designation", "process_order", "geom")
+    out = insert_difference_fused(src, keep_multi=True).collect()
+    keys = [(r["cell"], r["designation"], r["process_order"])
+            for r in out]
+    assert len(keys) == len(set(keys))          # one row per group
+    ids = [r["agg_id"] for r in out]
+    assert len(ids) == len(set(ids))            # agg_id unique
+    # at least one surviving group is genuinely multipart (the diff of
+    # an overlapping interval union produces disjoint remainders)
+    n_parts = []
+    for r in out:
+        rings = wkb.parse_rings(bytes(r["geom"]))
+        n_parts.append(sum(1 for g in rings if wkb.ring_area(g) >= 0))
+    assert max(n_parts) >= 2
