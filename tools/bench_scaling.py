@@ -105,8 +105,9 @@ def worker(n_threads: int, sf_dir: str, amp: int,
     from dle import sqlgen, datagen
     from dle.config import WIDTH_I, HEIGHT_I, XMIN, YMIN
     from dle.operators.spatial_join import pip_index_join
-    from dle.operators.overlay import dissolve, tile_geoms
+    from dle.operators.overlay import tile_geoms
     from dle.operators.raster import rasterize_fold
+    from dle.operators.skew import dissolve_auto
 
     # ---- inputs (persisted; not part of the measured engine work)
     pts = sqlgen.spark_view(spark, sf_dir, "points")
@@ -175,7 +176,12 @@ def worker(n_threads: int, sf_dir: str, amp: int,
                              " f -> f.process_order))").alias("po"))
               .where("po is not null")
               .groupBy("po").count())
-    dis_df = dissolve(bands_big, ["designation", "band"])
+    # measured default (VERDICT r4 #4): dissolve_auto reads the
+    # group-size histogram off the persisted input and salts only when
+    # a group exceeds the measured crossover — the composite now runs
+    # whatever a production job would run at this skew shape
+    dis_df = dissolve_auto(bands_big, ["designation", "band"],
+                           salt_col="geom")
     ras_df = rasterize_fold(tiled, 5, 512.0)
 
     def best_of(df, k=4):
