@@ -1295,13 +1295,15 @@ def o_multimodal_pipeline_stats():
 
 
 def q_multimodal_decode_stats(spark, sf):
-    """REAL media decode through the gate (VERDICT r2 #3): synth real
-    24bpp BMPs + PCM16 WAVs (with genuine BGR/bottom-up/padding and
-    RIFF-chunk layout), decode them with the pure-numpy decoders, and
-    aggregate decoded-content statistics per kind. kv_sum is
-    order-sensitive — a decoder that mishandles row flip, padding, or
-    channel order fails the hash even when the plain sum survives.
-    Oracle = the closed-form pixel/sample values summed relationally."""
+    """REAL media decode through the gate (VERDICT r2 #3, PNG added
+    per VERDICT r4 #7): synth real 24bpp BMPs (genuine BGR/bottom-up/
+    padding), PCM16 WAVs (RIFF-chunk layout), and deflate-compressed
+    RGB PNGs whose scanlines cycle all five filter types; decode with
+    the pure numpy(+zlib) decoders and aggregate decoded-content
+    statistics per kind. kv_sum is order-sensitive — a decoder that
+    mishandles row flip, padding, channel order, or PNG unfiltering
+    fails the hash even when the plain sum survives. Oracle = the
+    closed-form pixel/sample values summed relationally."""
     from .operators.multimodal import decode_stats, synth_media_real
     st = decode_stats(synth_media_real(spark, sf))
     return st.groupBy("kind").agg(
@@ -1319,12 +1321,17 @@ def o_multimodal_decode_stats():
           (doc_id * 31) % 256 as s
    from documents
    union all
-   select doc_id, 'audio', 64 + doc_id % 256, 0 from documents),
+   select doc_id, 'audio', 64 + doc_id % 256, 0 from documents
+   union all
+   select doc_id, 'png',
+          (8 + (doc_id * 5) % 16) * (8 + (doc_id * 7) % 16) * 3,
+          (doc_id * 37) % 256
+   from documents),
  u as (select m.doc_id, m.kind, m.n, m.s, g.k
        from m, lateral (
          select unnest(generate_series(0, m.n - 1)) as k) g),
  v as (select kind, k,
-              case when kind = 'image' then (s + k) % 256
+              case when kind in ('image', 'png') then (s + k) % 256
                    else ((doc_id * 7919 + k * 104729) % 65536) - 32768
               end as val
        from u),

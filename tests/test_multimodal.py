@@ -73,3 +73,23 @@ def test_frame_sampling(spark):
     for r in rows:
         assert 0 <= r["frame_i"] < r["n_frames"]
         assert r["frame_i"] % 50 == 0
+
+
+def test_png_decode_roundtrip():
+    """VERDICT r4 #7: pure numpy+zlib PNG — encoder cycles all five
+    scanline filters, decoder must undo each one exactly."""
+    import numpy as np
+
+    from dle.operators.multimodal import (_decode_png, _encode_png,
+                                          decode_image)
+    for doc_id in (3, 12, 77):
+        w = 8 + (doc_id * 5) % 16
+        h = 8 + (doc_id * 7) % 16
+        blob = _encode_png(doc_id, w, h)
+        # h >= 8 rows -> filters 0..4 all appear at least once
+        arr = decode_image(blob)
+        want = ((doc_id * 37 + np.arange(w * h * 3)) % 256) \
+            .reshape(h, w, 3)
+        assert (arr == want).all()
+    with pytest.raises(ValueError):
+        _decode_png(b"\x89PNG\r\n\x1a\nbroken")
