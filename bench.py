@@ -24,27 +24,31 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from dle import queries as q  # noqa: E402
 from dle.session import get_spark  # noqa: E402
 
-# HEADLINE is a representative subset, not the full 70+ registry.
-# Deliberately OMITTED for suite cost (VERDICT r3 #3; the suite must
-# stay comfortably under ~120 s at sf0.1 on a shared box): redundant
-# twins (spatial_knn brute — pruned is hash-identical; spatial_cell_
-# assign — every pip gate assigns cells anyway; ann_lsh_buckets /
-# ann_ivf_topk — subsumed by ann_lsh_topk / ann_ivf_trained_topk;
-# multimodal_pipeline_stats / multimodal_resize_stats — decode_stats
-# covers the decode path; events_sliding_window / events_sessions —
-# window_stats covers the windowed-agg path; asof_click_purchase /
-# _forward — nearest covers the cogrouped searchsorted;
-# overlay_precedence_area_1d — the 42-layer variant is the scale case;
-# overlay_planarize_labels_1d — coverage is the same planarize pass),
-# the constant-output qa row qa_planarized_totals, and
-# pipeline_resume_rollup (it measures checkpoint I/O, not engine
+# HEADLINE is a representative subset, not the full 70+ registry,
+# ROTATED per round like the registry CORE (VERDICT r4 #6) so every
+# gate gets benched within a few rounds while the suite stays under
+# the ~120 s sf0.1 budget (VERDICT r3 #3).
+# Deliberately OMITTED for suite cost this round — each a redundant
+# twin of a benched query, with its r4 measured time banked in
+# BENCH_r04.json: spatial_knn brute (pruned is hash-identical),
+# spatial_cell_assign (every pip gate assigns cells), spatial_pip_join
+# + spatial_restriction_max (same broadcast-index scan as the
+# precedence/rollup folds), ann_cosine_topk/ann_ivf_topk/
+# ann_lsh_buckets (subsumed by ann_lsh_topk + ann_ivf_trained_topk),
+# dedup_minhash_buckets (ngram_jaccard runs the same banding),
+# multimodal_pipeline/resize (decode_stats covers the decode path),
+# events_window_stats (streaming_window_rollup drains the identical
+# agg) + sliding/sessions, asof_click_nearest/purchase (forward
+# covers the cogrouped searchsorted this round),
+# overlay_planarize_coverage/labels_1d (qa_class_sums runs the same
+# planarize pass), overlay_precedence_area_1d (42-layer variant is
+# the scale case), the constant-output qa_planarized_totals, and
+# pipeline_resume_rollup (measures checkpoint I/O, not engine
 # throughput). Correctness for every omitted query is still
 # driver-gated (CORRECTNESS_r*.json) or replicable via
 # tools/check_oracle.py.
 HEADLINE = [
-    "spatial_pip_join",
     "spatial_pip_precedence",
-    "spatial_restriction_max",
     "spatial_rollup_counts",
     "spatial_clip_area_ha",
     "spatial_tile_feature_counts",
@@ -58,22 +62,16 @@ HEADLINE = [
     "overlay_intersect_pairs",
     "overlay_clip_area",
     "boundary_build_area",
-    "overlay_planarize_coverage_1d",
     "dedup_exact",
-    "dedup_minhash_buckets",
     "dedup_simhash",
     "text_stats",
-    "ann_cosine_topk",
     "ann_lsh_topk",
-    "events_window_stats",
     # r3 additions (keep appended so round-over-round common-query
     # comparisons stay clean)
     "dedup_ngram_jaccard",
-    "ann_ivf_topk",
     "multimodal_decode_stats",
     "raster_zonal_stats",
     "overlay_precedence_area_42",
-    "asof_click_nearest",
     "kmeans_centroids",
     "ann_ivf_trained_topk",
     "sketch_distinct_kmv",
@@ -97,6 +95,19 @@ HEADLINE = [
     "corpus_filter_stats",
     "spatial_polygon_precedence",
     "streaming_window_rollup",
+    # r5 rotation: new gates + previously-unbenched registry members
+    # (VERDICT r4 #6 named asof_forward, raster gates,
+    # qa_compare_designation, langid/bpe/fingerprint among the 22)
+    "overlay_precedence_multi",
+    "spatial_tile_mixed_counts",
+    "streaming_resume_rollup",
+    "asof_click_forward",
+    "raster_precedence_pixels",
+    "qa_compare_designation",
+    "text_langid",
+    "text_bpe_tokens",
+    "text_fingerprint",
+    "corpus_sample_stratified",
 ]
 
 

@@ -567,88 +567,121 @@ def o_rel_top_orders_per_cust():
 from .queries_kernel import KERNEL_QUERIES  # noqa: E402
 from .queries_raster import RASTER_QUERIES  # noqa: E402
 from .queries_text import TEXT_QUERIES  # noqa: E402
-from .queries_web import WEB_QUERIES, WEB_TAIL  # noqa: E402
+from .queries_web import WEB_QUERIES  # noqa: E402
 
-# Redundant twins demoted past the driver's 50-entry sample window
-# (each driver-green in CORRECTNESS_r03.json; rotate back in — see the
-# registry note below).
-KERNEL_TAIL = {"overlay_precedence_area_1d", "overlay_planarize_labels_1d",
-               "qa_planarized_totals"}
-TEXT_TAIL = {"ann_lsh_buckets", "ann_ivf_topk", "multimodal_pipeline_stats",
-             "multimodal_resize_stats", "events_sliding_window",
-             "events_sessions", "asof_click_purchase",
-             # bucket histogram demoted for the r4 components gate
-             # (shingle banding is exercised by ngram_jaccard +
-             # components; rotate back next round)
-             "dedup_minhash_buckets",
-             # batch twin demoted for the r4 STREAMING gate — the
-             # streaming drain checks the identical oracle, so the
-             # batch shape stays hash-verified through it
-             "events_window_stats"}
-
-# Registry ORDER IS LOAD-BEARING (VERDICT r3 #1): the driver's
-# correctness gate samples the FIRST 50 entries in insertion order.
-# The dict is therefore built in two blocks:
-#
-#   CORE  (slots 1-50): at least one gate per SURVEY §2 operator family
-#         plus every gate that has not yet had a driver-green row —
-#         this round: the 11 r3 graft gates the driver never sampled,
-#         the 3 raster gates (pushed past slot 50 in r3), and the new
-#         r4 gates (polygon PIP, buffer, pipeline resume).
-#   TAIL  (51+): redundant twins of CORE operators, every one
-#         driver-green in CORRECTNESS_r03.json (or earlier) and still
-#         verified each round by tools/check_oracle.py. Rotate TAIL
-#         members back into CORE in later rounds so no gate's last
-#         driver-green row ages more than a couple of rounds.
-_CORE = {
-    # spatial / web-corpus flagship path
-    "spatial_pip_polygon": (q_spatial_pip_polygon, o_spatial_pip_polygon),
+_LOCAL = {
+    "spatial_cell_assign": (q_spatial_cell_assign, o_spatial_cell_assign),
+    "spatial_pip_join": (q_spatial_pip_join, o_spatial_pip_join),
     "spatial_pip_precedence": (q_spatial_pip_precedence,
                                o_spatial_pip_precedence),
     "spatial_restriction_max": (q_spatial_restriction_max,
                                 o_spatial_restriction_max),
+    "spatial_rollup_counts": (q_spatial_rollup_counts,
+                              o_spatial_rollup_counts),
+    "spatial_clip_area_ha": (q_spatial_clip_area_ha, o_spatial_clip_area_ha),
     "spatial_tile_feature_counts": (q_spatial_tile_feature_counts,
                                     o_spatial_tile_feature_counts),
     "spatial_tile_mixed_counts": (q_spatial_tile_mixed_counts,
                                   o_spatial_tile_mixed_counts),
+    "spatial_knn": (q_spatial_knn, o_spatial_knn),
     "spatial_knn_pruned": (q_spatial_knn_pruned, o_spatial_knn),
+    "spatial_pip_polygon": (q_spatial_pip_polygon, o_spatial_pip_polygon),
+    "spatial_polygon_precedence": (q_spatial_polygon_precedence,
+                                   o_spatial_polygon_precedence),
     "pages_latest_capture": (q_pages_latest_capture, o_pages_latest_capture),
+    "pages_html_invariant": (q_pages_html_invariant,
+                             o_pages_html_invariant),
     "text_bytes_invariant": (q_text_bytes_invariant, o_text_bytes_invariant),
-    # relational
     "rel_pricing_summary": (q_rel_pricing_summary, o_rel_pricing_summary),
     "rel_join_revenue_by_nation": (q_rel_join_revenue_by_nation,
                                    o_rel_join_revenue_by_nation),
     "rel_anti_join_customers": (q_rel_anti_join_customers,
                                 o_rel_anti_join_customers),
-}
-
-_TAIL = {
-    "spatial_polygon_precedence": (q_spatial_polygon_precedence,
-                                   o_spatial_polygon_precedence),
-    "spatial_cell_assign": (q_spatial_cell_assign, o_spatial_cell_assign),
-    "spatial_pip_join": (q_spatial_pip_join, o_spatial_pip_join),
-    "spatial_rollup_counts": (q_spatial_rollup_counts,
-                              o_spatial_rollup_counts),
-    "spatial_clip_area_ha": (q_spatial_clip_area_ha, o_spatial_clip_area_ha),
-    "spatial_knn": (q_spatial_knn, o_spatial_knn),
-    "pages_html_invariant": (q_pages_html_invariant,
-                             o_pages_html_invariant),
     "rel_top_orders_per_cust": (q_rel_top_orders_per_cust,
                                 o_rel_top_orders_per_cust),
 }
 
-QUERIES = {
-    **_CORE,
-    **{k: v for k, v in KERNEL_QUERIES.items() if k not in KERNEL_TAIL},
-    **{k: v for k, v in TEXT_QUERIES.items() if k not in TEXT_TAIL},
-    **{k: v for k, v in WEB_QUERIES.items() if k not in WEB_TAIL},
-    **RASTER_QUERIES,
-    # ---- tail: driver-green twins + r4 additions awaiting rotation ----
-    **_TAIL,
-    **{k: v for k, v in KERNEL_QUERIES.items() if k in KERNEL_TAIL},
-    **{k: v for k, v in TEXT_QUERIES.items() if k in TEXT_TAIL},
-    **{k: v for k, v in WEB_QUERIES.items() if k in WEB_TAIL},
-}
+_ALL = {**_LOCAL, **KERNEL_QUERIES, **TEXT_QUERIES, **WEB_QUERIES,
+        **RASTER_QUERIES}
+
+# Registry ORDER IS LOAD-BEARING (VERDICT r3 #1): the driver's
+# correctness gate samples the FIRST 50 entries in insertion order.
+# CORE_R5 is the explicit slot list for this round; everything not
+# named lands in TAIL (51+), still verified locally each round by
+# tools/check_oracle.py. Rotation rule: no gate's last driver-green
+# row may age more than ~2 rounds; a new/changed gate always takes a
+# CORE slot in the round it changes.
+#
+# r5 composition: 5 never-driver-sampled gates (VERDICT r4 #1) + 3 new
+# gates + 4 gates whose code/oracle changed this round + all 19
+# r3-green TAIL members cycled back + 19 r4-green keepers; the 27
+# demoted gates are all r4-green (age 1) and rotate back r6/r7.
+CORE_R5 = [
+    # never driver-sampled (VERDICT r4 #1 — highest leverage)
+    "spatial_polygon_precedence",
+    "url_canonical_dedup",
+    "text_length_quantiles",
+    "corpus_filter_stats",
+    "corpus_sample_stratified",
+    # new this round
+    "overlay_precedence_multi",
+    "spatial_tile_mixed_counts",
+    "streaming_resume_rollup",
+    # code/oracle changed this round
+    "multimodal_decode_stats",
+    "pipeline_resume_rollup",
+    "streaming_window_rollup",
+    "spatial_knn_pruned",
+    # r3-green TAIL members cycled back (last driver row = r3)
+    "spatial_cell_assign",
+    "spatial_pip_join",
+    "spatial_rollup_counts",
+    "spatial_clip_area_ha",
+    "spatial_knn",
+    "pages_html_invariant",
+    "rel_top_orders_per_cust",
+    "overlay_precedence_area_1d",
+    "overlay_planarize_labels_1d",
+    "qa_planarized_totals",
+    "dedup_minhash_buckets",
+    "ann_lsh_buckets",
+    "ann_ivf_topk",
+    "multimodal_pipeline_stats",
+    "multimodal_resize_stats",
+    "events_window_stats",
+    "events_sliding_window",
+    "events_sessions",
+    "asof_click_purchase",
+    # r4-green keepers (one per family not otherwise represented)
+    "boundary_build_area",
+    "overlay_buffer_area",
+    "overlay_intersect_pairs",
+    "overlay_clip_area",
+    "overlay_dissolve_area_1d",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "ann_ivf_trained_topk",
+    "kmeans_centroids",
+    "pack_sequences",
+    "asof_click_forward",
+    "range_join_promos",
+    "pages_latest_capture",
+    "text_bytes_invariant",
+    "raster_zonal_stats",
+    "spatial_pip_precedence",
+    "rel_pricing_summary",
+]
+
+assert len(CORE_R5) == 50, f"CORE must fill exactly 50 slots, got {len(CORE_R5)}"
+assert len(set(CORE_R5)) == 50, "duplicate CORE slot"
+_missing = [n for n in CORE_R5 if n not in _ALL]
+assert not _missing, f"CORE names not registered: {_missing}"
+
+QUERIES = {name: _ALL[name] for name in CORE_R5}
+# ---- TAIL (51+): r4-green twins awaiting rotation back in r6/r7 ----
+QUERIES.update({k: v for k, v in _ALL.items() if k not in QUERIES})
 
 
 def queries():

