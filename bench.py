@@ -100,6 +100,7 @@ HEADLINE = [
     # qa_compare_designation, langid/bpe/fingerprint among the 22)
     "overlay_precedence_multi",
     "spatial_tile_mixed_counts",
+    "spatial_pip_mixed_join",
     "streaming_resume_rollup",
     "asof_click_forward",
     "raster_precedence_pixels",

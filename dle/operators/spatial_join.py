@@ -90,6 +90,35 @@ def pip_join_rects(points: DataFrame, rects: DataFrame, depth: int,
     return joined
 
 
+def pip_join_mixed(points: DataFrame, tiled: DataFrame,
+                   depths: list[int],
+                   px: str = "px", py: str = "py",
+                   broadcast_tiled: bool = True) -> DataFrame:
+    """Point join against a MIXED-DEPTH tiled layer table (the
+    two-scale grid of overlay.tile_geoms_mixed / the reference's mixed
+    1:20k + 1:250k tile names, sql/create_tiles.sql:45-63): each point
+    emits its quadkey at every depth present (|depths| is 2-3, a
+    bounded explode — the ancestor keys are prefixes, so this is the
+    prefix-join made equi), then one cell equi-join. A point lies in
+    exactly one cell per depth and a feature's pieces at its own depth
+    are disjoint, so each containing (point, feature) pair appears
+    exactly once — no dedupe shuffle, identical guarantee to the
+    single-depth join. The exact predicate runs on the feature's
+    ORIGINAL bbox columns (x0..y1), which tile_geoms_mixed passes
+    through unchanged — pure JVM codegen."""
+    cells = F.array(*[
+        _cell_col(px, py, d) for d in sorted(set(depths))])
+    p = points.withColumn("cell", F.explode(cells))
+    t = tiled
+    if broadcast_tiled:
+        t = F.broadcast(t)
+    cond = (
+        (F.col(px) >= F.col("x0")) & (F.col(px) < F.col("x1"))
+        & (F.col(py) >= F.col("y0")) & (F.col(py) < F.col("y1"))
+    )
+    return p.join(t, "cell").where(cond)
+
+
 def pip_index_join(points: DataFrame, rects: DataFrame, depth: int,
                    px: str = "px", py: str = "py",
                    feat_cols: tuple[str, ...] = ("process_order",

@@ -257,6 +257,44 @@ def q_spatial_tile_mixed_counts(spark, sf):
     return t.groupBy("cell").agg(F.count(F.lit(1)).alias("n_feats"))
 
 
+def q_spatial_pip_mixed_join(spark, sf):
+    """PIP join ACROSS the two-scale grid (the join-side proof of the
+    mixed-depth tile system): layers tile at depth 3 (odd feat_ids,
+    the sparse 'marine' class) or depth 5 (even), the point side
+    emits its quadkey at both depths (bounded 2-way explode — the
+    prefix join made equi; spatial_join.pip_join_mixed), one broadcast
+    cell equi-join + JVM bbox refine. The oracle joins the UNTILED
+    layers directly, so any tiling/prefix/dedupe mistake in the mixed
+    path (dropped cells, double-matched pieces, wrong-depth keys)
+    breaks the pair counts."""
+    from .operators.overlay import tile_geoms_mixed
+    from .operators.spatial_join import pip_join_mixed
+    from .queries_raster import _rect_wkb
+    lay = _layers(spark, sf).withColumn(
+        "tile_depth",
+        F.when(F.col("feat_id") % 2 == 1, F.lit(3))
+        .otherwise(F.lit(5)).cast("int"))
+    w = lay.select("feat_id", "designation", "tile_depth",
+                   "x0", "y0", "x1", "y1",
+                   _rect_wkb("x0", "y0", "x1", "y1").alias("geom"))
+    t = tile_geoms_mixed(w).select(
+        "cell", "feat_id", "designation", "x0", "y0", "x1", "y1")
+    pts = _points(spark, sf).select("page_id", "cand_i", "px", "py")
+    j = pip_join_mixed(pts, t, [3, 5])
+    return j.groupBy("designation").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("page_id").alias("n_pages"))
+
+
+def o_spatial_pip_mixed_join():
+    return (preamble("duckdb") + """
+ select l.designation, cast(count(*) as bigint) as n_pairs,
+        cast(count(distinct p.page_id) as bigint) as n_pages
+ from points p join layers l
+   on p.px >= l.x0 and p.px < l.x1 and p.py >= l.y0 and p.py < l.y1
+ group by l.designation""")
+
+
 def _o_tile_counts_at(depth: int, pred: str) -> str:
     """Closed-form covering-cell enumeration at one depth, mirroring
     cells.cover exactly (HALF-OPEN upper bound: a rect ending on a
@@ -583,6 +621,8 @@ _LOCAL = {
                                     o_spatial_tile_feature_counts),
     "spatial_tile_mixed_counts": (q_spatial_tile_mixed_counts,
                                   o_spatial_tile_mixed_counts),
+    "spatial_pip_mixed_join": (q_spatial_pip_mixed_join,
+                               o_spatial_pip_mixed_join),
     "spatial_knn": (q_spatial_knn, o_spatial_knn),
     "spatial_knn_pruned": (q_spatial_knn_pruned, o_spatial_knn),
     "spatial_pip_polygon": (q_spatial_pip_polygon, o_spatial_pip_polygon),
@@ -612,9 +652,9 @@ _ALL = {**_LOCAL, **KERNEL_QUERIES, **TEXT_QUERIES, **WEB_QUERIES,
 # row may age more than ~2 rounds; a new/changed gate always takes a
 # CORE slot in the round it changes.
 #
-# r5 composition: 5 never-driver-sampled gates (VERDICT r4 #1) + 3 new
+# r5 composition: 5 never-driver-sampled gates (VERDICT r4 #1) + 4 new
 # gates + 4 gates whose code/oracle changed this round + all 19
-# r3-green TAIL members cycled back + 19 r4-green keepers; the 27
+# r3-green TAIL members cycled back + 18 r4-green keepers; the 28
 # demoted gates are all r4-green (age 1) and rotate back r6/r7.
 CORE_R5 = [
     # never driver-sampled (VERDICT r4 #1 — highest leverage)
@@ -626,6 +666,7 @@ CORE_R5 = [
     # new this round
     "overlay_precedence_multi",
     "spatial_tile_mixed_counts",
+    "spatial_pip_mixed_join",
     "streaming_resume_rollup",
     # code/oracle changed this round
     "multimodal_decode_stats",
@@ -671,7 +712,6 @@ CORE_R5 = [
     "text_bytes_invariant",
     "raster_zonal_stats",
     "spatial_pip_precedence",
-    "rel_pricing_summary",
 ]
 
 assert len(CORE_R5) == 50, f"CORE must fill exactly 50 slots, got {len(CORE_R5)}"

@@ -119,3 +119,17 @@ def test_dissolve_shuffles_once_by_keys(spark):
     plan = _plan(dissolve(b, ["designation", "band"]))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_pip_mixed_join_no_point_shuffle(spark):
+    """Mixed-depth PIP join: the point side takes a bounded 2-way
+    explode + broadcast equi-join — no point-side hash exchange, no
+    Python eval in the join/refine path (the only Arrow stage is the
+    dimension-side tiler)."""
+    plan = _plan(q.q_spatial_pip_mixed_join(spark, SF))
+    # the only hash exchanges are the rollup's two countDistinct
+    # phases ((designation, page_id) then designation) — both carry
+    # partial-aggregated data, never raw point rows
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
