@@ -53,19 +53,14 @@ HEADLINE = [
     "spatial_clip_area_ha",
     "spatial_tile_feature_counts",
     "pages_latest_capture",
-    "text_bytes_invariant",
     "rel_pricing_summary",
     "rel_top_orders_per_cust",
     "spatial_knn_pruned",
     "rel_join_revenue_by_nation",
     "overlay_dissolve_area_1d",
-    "overlay_intersect_pairs",
-    "overlay_clip_area",
-    "boundary_build_area",
     "dedup_exact",
     "dedup_simhash",
     "text_stats",
-    "ann_lsh_topk",
     # r3 additions (keep appended so round-over-round common-query
     # comparisons stay clean)
     "dedup_ngram_jaccard",
@@ -79,10 +74,7 @@ HEADLINE = [
     "pages_host_rollup",
     "pages_split_assign",
     "text_repetition",
-    "dedup_chunk_shared",
     "vocab_topk",
-    "pages_topk_per_host",
-    "spatial_cell_pyramid",
     "pack_sequences",
     # r4 additions (appended: keeps common-query diffs clean)
     "pages_html_invariant",
@@ -92,19 +84,40 @@ HEADLINE = [
     "text_length_quantiles",
     "corpus_filter_stats",
     "spatial_polygon_precedence",
-    "streaming_window_rollup",
     # r5 rotation: new gates + previously-unbenched registry members
     # (VERDICT r4 #6 named asof_forward, langid/bpe/fingerprint among
     # the 22). Rotated OUT this round to stay under the 120 s budget
     # (each banked in BENCH_r04/r05 and still correctness-gated):
-    # spatial_pip_polygon + url_canonical_dedup +
-    # overlay_precedence_area_42 (r4-measured twins of benched paths),
-    # qa_compare_designation (10.3 s — the same planarize pass as
-    # qa_class_sums plus an arrays_overlap join; the single most
-    # expensive registry query), raster_precedence_pixels (zonal runs
-    # the same burn+fold), streaming_resume_rollup (measures
-    # checkpoint/restart I/O like pipeline_resume_rollup, not engine
-    # throughput; measured 5.5 s in the r5 trial run).
+    # spatial_pip_polygon + url_canonical_dedup (r4-measured twins of
+    # benched paths), qa_compare_designation (10.3 s — the same
+    # planarize pass as qa_class_sums plus an arrays_overlap join; the
+    # single most expensive registry query), raster_precedence_pixels
+    # (zonal runs the same burn+fold), streaming_resume_rollup
+    # (measures checkpoint/restart I/O like pipeline_resume_rollup,
+    # not engine throughput; measured 5.5 s in the r5 trial run).
+    # overlay_precedence_area_42 STAYS (r3 block): it is the 42-layer
+    # scale case, not a twin. Further r5 budget trims after the full
+    # 52-query trial measured 128.3 s on a noisy leg (each banked in
+    # that trial, all still correctness-gated): overlay_clip_area
+    # (3.49 s — clip kernel also measured by spatial_clip_area_ha and
+    # inside every precedence query) and text_bytes_invariant (5.07 s
+    # — an equi-join + byte rollup whose join path rel_join_revenue_by
+    # _nation and whose doc scan text_stats both cover). A second
+    # 50-query leg still measured 132.9 s (the shared host runs ~25%
+    # slow vs the r4 leg), so four more unchanged-since-r4 twins went
+    # out (timings banked in that leg + BENCH_r04): boundary_build_area
+    # (8.45 s — composes the separately-benched buffer
+    # [overlay_buffer_area] and dissolve [overlay_dissolve_area_1d]
+    # stages), overlay_intersect_pairs (5.66 s — the pairwise slab
+    # kernel also runs inside every clip/precedence query), ann_lsh_topk
+    # (4.84 s — banding measured by dedup_ngram_jaccard, ANN search by
+    # ann_ivf_trained_topk), streaming_window_rollup (2.95 s — the
+    # identical agg drains in the r4-banked measurement; code unchanged
+    # this round), spatial_cell_pyramid (2.24 s — hierarchical-cell
+    # rollup now also measured by the new spatial_tile_mixed_counts),
+    # pages_topk_per_host (2.12 s — same TakeOrderedAndProject shape as
+    # vocab_topk), dedup_chunk_shared (2.74 s — shingle+groupBy
+    # machinery measured by dedup_ngram_jaccard and decon_overlap).
     "overlay_precedence_multi",
     "spatial_tile_mixed_counts",
     "spatial_pip_mixed_join",
@@ -113,6 +126,9 @@ HEADLINE = [
     "text_bpe_tokens",
     "text_fingerprint",
     "corpus_sample_stratified",
+    # r5 curation additions (new gates always bench in their round)
+    "decon_overlap",
+    "text_pii_redact",
 ]
 
 

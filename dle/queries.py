@@ -652,10 +652,13 @@ _ALL = {**_LOCAL, **KERNEL_QUERIES, **TEXT_QUERIES, **WEB_QUERIES,
 # row may age more than ~2 rounds; a new/changed gate always takes a
 # CORE slot in the round it changes.
 #
-# r5 composition: 5 never-driver-sampled gates (VERDICT r4 #1) + 4 new
-# gates + 4 gates whose code/oracle changed this round + all 19
-# r3-green TAIL members cycled back + 18 r4-green keepers; the 28
-# demoted gates are all r4-green (age 1) and rotate back r6/r7.
+# r5 composition: 5 never-driver-sampled gates (VERDICT r4 #1) + 6 new
+# gates (incl. decon_overlap/text_pii_redact curation ops) + 4 gates
+# whose code/oracle changed this round + all 19 r3-green TAIL members
+# cycled back + 16 r4-green keepers; the 30 demoted gates are all
+# r4-green (age 1; asof_click_forward and overlay_clip_area displaced
+# for the curation gates, their families stay represented) and rotate
+# back r6/r7.
 CORE_R5 = [
     # never driver-sampled (VERDICT r4 #1 — highest leverage)
     "spatial_polygon_precedence",
@@ -668,6 +671,8 @@ CORE_R5 = [
     "spatial_tile_mixed_counts",
     "spatial_pip_mixed_join",
     "streaming_resume_rollup",
+    "decon_overlap",
+    "text_pii_redact",
     # code/oracle changed this round
     "multimodal_decode_stats",
     "pipeline_resume_rollup",
@@ -697,7 +702,6 @@ CORE_R5 = [
     "boundary_build_area",
     "overlay_buffer_area",
     "overlay_intersect_pairs",
-    "overlay_clip_area",
     "overlay_dissolve_area_1d",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -706,7 +710,6 @@ CORE_R5 = [
     "ann_ivf_trained_topk",
     "kmeans_centroids",
     "pack_sequences",
-    "asof_click_forward",
     "range_join_promos",
     "pages_latest_capture",
     "text_bytes_invariant",

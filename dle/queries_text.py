@@ -428,6 +428,110 @@ def o_text_fingerprint():
  from tok group by doc_id"""
 
 
+# ----------------------------------------------- corpus decontamination
+
+def q_decon_overlap(spark, sf):
+    """Train/eval decontamination: flag training docs sharing >= 3
+    distinct word-3-gram shingles with any benchmark doc (deterministic
+    split: doc_id % 11 == 3 is the "eval suite", the rest is the
+    training corpus). The eval side is broadcast (production eval
+    suites are KB-MB); corpus shingles are computed in-scan and
+    non-matching shingles die map-side inside the broadcast hash join,
+    so the only exchange carries matched rows — contamination-volume
+    sized, never corpus-sized (operators/curation.py::decontaminate)."""
+    from .operators.curation import decontaminate
+    register_tables(spark, sf)
+    docs = spark.table("documents")
+    return decontaminate(
+        docs.where(F.expr("doc_id % 11 <> 3")),
+        docs.where(F.expr("doc_id % 11 = 3")),
+        n=3, min_shared=3)
+
+
+def o_decon_overlap():
+    return """
+ with shing as (
+   select distinct doc_id,
+          concat_ws(' ', ts[i], ts[i + 1], ts[i + 2]) as sh
+   from (select doc_id, string_split(text, ' ') as ts from documents
+         where len(string_split(text, ' ')) >= 3) t,
+        lateral (select unnest(generate_series(1, len(ts) - 2)) as i)),
+ ov as (
+   select t.doc_id, b.doc_id as bench_id, count(*) as shared
+   from shing t join shing b on t.sh = b.sh
+   where t.doc_id % 11 <> 3 and b.doc_id % 11 = 3
+   group by 1, 2 having count(*) >= 3)
+ select doc_id, cast(count(*) as bigint) as n_bench,
+        cast(max(shared) as bigint) as max_shared,
+        cast(sum(shared) as bigint) as sum_shared
+ from ov group by doc_id"""
+
+
+# --------------------------------------------------------- PII redaction
+
+# deterministic PII augmentation: the synthetic corpus is clean word
+# soup, so each row gets arithmetically-derived email/ip/phone tokens
+# appended before redaction — exercising the real regex machinery with
+# row-varying matches on both engines (sqlgen determinism contract).
+_PII_SYNTH_SPARK = (
+    "concat(text, ' contact user', cast(doc_id as string),"
+    " '@example.com ip 10.', cast(doc_id % 256 as string), '.0.',"
+    " cast(doc_id % 97 as string), ' tel ',"
+    " cast(100 + doc_id % 900 as string), '-',"
+    " cast(1000 + doc_id % 9000 as string),"
+    " case when doc_id % 3 = 0 then ' admin@data.org' else '' end)")
+_PII_SYNTH_DUCK = (
+    "text || ' contact user' || cast(doc_id as varchar)"
+    " || '@example.com ip 10.' || cast(doc_id % 256 as varchar)"
+    " || '.0.' || cast(doc_id % 97 as varchar) || ' tel '"
+    " || cast(100 + doc_id % 900 as varchar) || '-'"
+    " || cast(1000 + doc_id % 9000 as varchar)"
+    " || (case when doc_id % 3 = 0 then ' admin@data.org' else '' end)")
+
+
+def q_text_pii_redact(spark, sf):
+    """PII masking (emails, IPv4, phone) over the augmented corpus:
+    per-language doc counts, per-category match totals, and a
+    sum-of-md5 value hash of every REDACTED text — proving the masked
+    output itself (not just the counts) is identical cross-engine.
+    Pure scan-side JVM regexp expressions, zero shuffle before the
+    5-row rollup (operators/curation.py::redact_pii)."""
+    from .operators.curation import redact_pii
+    register_tables(spark, sf)
+    docs = spark.table("documents").select(
+        "doc_id", "lang", F.expr(_PII_SYNTH_SPARK).alias("text"))
+    red = redact_pii(docs)
+    h = ("cast(conv(substring(md5(redacted), 1, 15), 16, 10)"
+         " as bigint) % 1000000007")
+    return red.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").alias("sum_email"),
+        F.sum("n_ipv4").alias("sum_ipv4"),
+        F.sum("n_phone").alias("sum_phone"),
+        F.sum(F.expr(h)).alias("red_hash"))
+
+
+def o_text_pii_redact():
+    from .operators.curation import PII_PATTERNS
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    red = f"regexp_replace({_PII_SYNTH_DUCK}, '{pats['email']}', '<EMAIL>', 'g')"
+    red = f"regexp_replace({red}, '{pats['ipv4']}', '<IP>', 'g')"
+    red = f"regexp_replace({red}, '{pats['phone']}', '<PHONE>', 'g')"
+    counts = ", ".join(
+        f"cast(sum(len(regexp_extract_all(synth, '{pats[k]}')))"
+        f" as bigint) as sum_{a}"
+        for k, a in (("email", "email"), ("ipv4", "ipv4"),
+                     ("phone", "phone")))
+    return f"""
+ with aug as (
+   select lang, {_PII_SYNTH_DUCK} as synth, {red} as redacted
+   from documents)
+ select lang, cast(count(*) as bigint) as n_docs, {counts},
+        cast(sum((('0x' || substr(md5(redacted), 1, 15))::BIGINT)
+                 % 1000000007) as bigint) as red_hash
+ from aug group by lang"""
+
+
 # ------------------------------------------------------ text analysis
 
 _MARKERS = [("en", " the "), ("fr", " le "), ("de", " der "),
@@ -1765,6 +1869,8 @@ TEXT_QUERIES = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                o_dedup_embedding_cosine),
     "text_fingerprint": (q_text_fingerprint, o_text_fingerprint),
+    "decon_overlap": (q_decon_overlap, o_decon_overlap),
+    "text_pii_redact": (q_text_pii_redact, o_text_pii_redact),
     "sketch_distinct_kmv": (q_sketch_distinct_kmv, o_sketch_distinct_kmv),
     "text_stats": (q_text_stats, o_text_stats),
     "text_langid": (q_text_langid, o_text_langid),

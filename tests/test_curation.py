@@ -1,0 +1,91 @@
+"""Decontamination + PII redaction operators (operators/curation.py)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from dle.operators.curation import (PII_PATTERNS, decontaminate,
+                                    redact_pii, shingle_expr)
+
+
+def _shingles(text: str, n: int = 3) -> set:
+    ts = text.split(" ")
+    return {" ".join(ts[i:i + n]) for i in range(len(ts) - n + 1)}
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_matches_bruteforce(spark):
+    corpus = [
+        (0, "a b c d e f g h"),            # shares 3 shingles w/ bench 100
+        (1, "a b c x y z q r"),            # shares 1 shingle  (below min)
+        (2, "p q r s t u v w x y"),        # no overlap
+        (3, "a b c d e f g h i j"),        # shares w/ both bench docs
+        (4, "x y"),                        # too short: no 3-grams
+    ]
+    bench = [
+        (100, "a b c d e f"),
+        (101, "d e f g h i j k"),
+    ]
+    got = {r["doc_id"]: (r["n_bench"], r["max_shared"], r["sum_shared"])
+           for r in decontaminate(_docs(spark, corpus),
+                                  _docs(spark, bench),
+                                  min_shared=3).collect()}
+    # brute force
+    want = {}
+    for did, text in corpus:
+        sh = _shingles(text)
+        per = [len(sh & _shingles(bt)) for _, bt in bench]
+        hits = [c for c in per if c >= 3]
+        if hits:
+            want[did] = (len(hits), max(hits), sum(hits))
+    assert got == want
+    assert 4 not in got and 1 not in got and 2 not in got
+
+
+def test_decontaminate_plan_broadcasts_bench(spark):
+    """The bench side must be a broadcast join — a sort-merge join here
+    would shuffle the corpus-side shingle stream (corpus-sized exchange
+    at 100 TB)."""
+    df = _docs(spark, [(i, "a b c d e f") for i in range(20)])
+    plan = decontaminate(df, df.limit(5), min_shared=1)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shingle_expr_distinct_and_short_docs(spark):
+    df = _docs(spark, [(0, "a b a b a b"), (1, "a b")])
+    out = {r["doc_id"]: sorted(r["sh"]) for r in df.select(
+        "doc_id", F.expr(shingle_expr(3)).alias("sh")).collect()}
+    assert out[0] == ["a b a", "b a b"]   # duplicates collapsed
+    assert out[1] == []                    # sequence(0, -1) -> empty
+
+
+def test_redact_pii_counts_and_mask(spark):
+    rows = [
+        (0, "write bob.smith+x@mail-host.org today"),
+        (1, "from 192.168.0.1 and 10.0.0.255 call 555-0199"),
+        (2, "clean text only"),
+        (3, "two mails a@b.io c@d.co and 1.2.3.4"),
+    ]
+    got = {r["doc_id"]: r for r in redact_pii(_docs(spark, rows)).collect()}
+    pats = {name: re.compile(pat) for name, pat, _ in PII_PATTERNS}
+    for did, text in rows:
+        r = got[did]
+        assert r["n_email"] == len(pats["email"].findall(text)), did
+        # ipv4/phone counts are on the ORIGINAL text (emails intact)
+        assert r["n_ipv4"] == len(pats["ipv4"].findall(text)), did
+        assert r["n_phone"] == len(pats["phone"].findall(text)), did
+        want = text
+        for name, pat, repl in PII_PATTERNS:
+            want = re.sub(pat, repl, want)
+        assert r["redacted"] == want, did
+    assert got[2]["redacted"] == "clean text only"
+    assert "<EMAIL>" in got[0]["redacted"]
+    assert got[1]["redacted"].count("<IP>") == 2
+    assert "<PHONE>" in got[1]["redacted"]
