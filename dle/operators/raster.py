@@ -204,8 +204,9 @@ def write_raster(raster: DataFrame, path: str,
     writes the driver-side mosaic as a REAL georeferenced GeoTIFF
     (sources/geotiff.py — the reference's designatedlands.tif,
     designatedlands.py:956-991; final artifact, test scale) and, when
-    a registry is supplied, the GDAL-PAM `.aux.xml` RAT sidecar so
-    the legend travels WITH the .tif (rat_aux_xml)."""
+    a registry is supplied, the legend twice: embedded IN-FILE as the
+    GDAL_METADATA TIFF tag (geotiff.gdal_metadata_xml) and as the
+    GDAL-PAM `.aux.xml` RAT sidecar (rat_aux_xml)."""
     raster.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/blocks")
     legend = None
@@ -215,7 +216,7 @@ def write_raster(raster: DataFrame, path: str,
         legend = [(row["value"], row["description"])
                   for row in r.collect()]
     if geotiff:
-        from ..sources.geotiff import write_geotiff
+        from ..sources.geotiff import gdal_metadata_xml, write_geotiff
         m = mosaic(raster, plane)
         if m.size:
             res = GRID_SIZE / m.shape[0]
@@ -223,7 +224,9 @@ def write_raster(raster: DataFrame, path: str,
             # the TIFF's north-up row order
             tif = f"{path}/{plane}.tif"
             write_geotiff(m[::-1], tif,
-                          x0=XMIN, y_top=YMIN + GRID_SIZE, res=res)
+                          x0=XMIN, y_top=YMIN + GRID_SIZE, res=res,
+                          gdal_metadata=(gdal_metadata_xml(legend)
+                                         if legend is not None else None))
             if legend is not None:
                 with open(tif + ".aux.xml", "w") as f:
                     f.write(rat_aux_xml(legend))

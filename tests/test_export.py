@@ -107,3 +107,29 @@ def test_write_raster_rat_aux_xml(spark, tmp_path):
     names = [f.find("Name").text for f in
              root.findall(".//FieldDefn")]
     assert names == ["VALUE", "DESCRIPTION"]
+    # ... and the legend is ALSO embedded in the .tif itself (TIFF tag
+    # 42112, GDAL_METADATA) so it survives sidecar loss
+    from dle.sources.geotiff import read_geotiff
+    _, meta = read_geotiff(str(tmp_path / "r" / "designation.tif"))
+    gm = ET.fromstring(meta["gdal_metadata"])
+    items = {i.get("name"): i.text for i in gm.findall("Item")}
+    assert items == {"CLASS_1": "conservancy",
+                     "CLASS_2": "park & <reserve>"}
+
+
+def test_geotiff_gdal_metadata_roundtrip(tmp_path):
+    """Tag 42112 payload round-trips verbatim, and its absence leaves
+    the meta dict free of the key."""
+    from dle.sources.geotiff import (gdal_metadata_xml, read_geotiff,
+                                     write_geotiff)
+    arr = np.zeros((2, 2), np.uint8)
+    xml = gdal_metadata_xml([(7, 'a "quoted" & <odd> name')])
+    p = str(tmp_path / "m.tif")
+    write_geotiff(arr, p, x0=0.0, y_top=200.0, res=100.0,
+                  gdal_metadata=xml)
+    _, meta = read_geotiff(p)
+    assert meta["gdal_metadata"] == xml
+    p2 = str(tmp_path / "n.tif")
+    write_geotiff(arr, p2, x0=0.0, y_top=200.0, res=100.0)
+    _, meta2 = read_geotiff(p2)
+    assert "gdal_metadata" not in meta2
