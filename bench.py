@@ -129,6 +129,7 @@ HEADLINE = [
     # r5 curation additions (new gates always bench in their round)
     "decon_overlap",
     "text_pii_redact",
+    "quality_score_linear",
 ]
 
 

@@ -79,6 +79,41 @@ def decontaminate(corpus: DataFrame, bench: DataFrame, *, n: int = 3,
         F.sum("shared").alias("sum_shared"))
 
 
+def quality_score(df: DataFrame, text_col: str = "text",
+                  n_buckets: int = 256, scale: int = 1000,
+                  score_col: str = "q_score_sum",
+                  ntok_col: str = "q_n_tokens") -> DataFrame:
+    """Model-based quality scoring (the fastText/CCNet-style classifier
+    filter stage): hashed bag-of-words -> per-bucket integer weight ->
+    per-doc score sum.
+
+    Adds ``ntok_col`` (token count) and ``score_col`` (BIGINT sum of
+    per-token weights; keep/drop decisions threshold it, e.g. > 0).
+    Token bucket = md5-hash % ``n_buckets`` (md5-only cross-engine
+    hashing rule, dle/sqlgen.py); the weight for bucket b is the
+    closed form (b * 2654435761) % (2*scale+1) - scale — an integer in
+    [-scale, scale], standing in for trained weights so the gate is
+    exactly oracle-checkable.  Scores stay INTEGER sums (determinism
+    rule: divide only at comparison boundaries).
+
+    Scale shape: a pure HOF transform+aggregate inside the scan — no
+    explode, no shuffle, no Python.  With real trained weights the
+    closed form becomes a broadcast map lookup (the
+    queries_text._band_sig_rows pattern); vocab-hashed models are
+    n_buckets-sized, far under broadcast limits.  At 100 TB this is a
+    map-only pass, exactly how fastText filtering runs in production
+    web pipelines.
+    """
+    toks = f"split({text_col}, ' ')"
+    w = (f"transform({toks}, t ->"
+         f" (cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+         f" % {n_buckets}) * 2654435761 % {2 * scale + 1} - {scale})")
+    return (df
+            .withColumn(ntok_col, F.expr(f"size({toks})"))
+            .withColumn(score_col, F.expr(
+                f"aggregate({w}, cast(0 as bigint), (a, x) -> a + x)")))
+
+
 # PII patterns — written to the RE2-compatible subset (no lookaround,
 # no backreferences) so Spark (java.util.regex) and DuckDB (RE2)
 # match identically; replacement order is email -> ipv4 -> phone so

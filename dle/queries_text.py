@@ -467,6 +467,45 @@ def o_decon_overlap():
  from ov group by doc_id"""
 
 
+# ------------------------------------------------- quality classifier
+
+def q_quality_score_linear(spark, sf):
+    """Classifier-based quality filtering (fastText/CCNet stage):
+    hashed bag-of-words linear score per doc, thresholded at 0, rolled
+    up per language. The weight function is a closed form over the
+    md5 token bucket (operators/curation.py::quality_score) so the
+    whole pass is scan-side JVM HOFs — no explode, no Python, zero
+    shuffle before the 5-row rollup; real trained weights would swap
+    in as a broadcast map without changing the plan shape."""
+    from .operators.curation import quality_score
+    register_tables(spark, sf)
+    scored = quality_score(spark.table("documents"))
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr("if(q_score_sum > 0, 1, 0)")).alias("n_kept"),
+        F.sum("q_score_sum").alias("sum_score"),
+        F.sum("q_n_tokens").alias("sum_tokens"))
+
+
+def o_quality_score_linear():
+    bucket = "(('0x' || substr(md5(t), 1, 15))::BIGINT % 256)"
+    return f"""
+ with tok as (
+   select doc_id, lang, unnest(string_split(text, ' ')) as t
+   from documents),
+ doc as (
+   select doc_id, lang,
+          sum({bucket} * 2654435761 % 2001 - 1000) as score,
+          count(*) as n_tok
+   from tok group by 1, 2)
+ select lang, cast(count(*) as bigint) as n_docs,
+        cast(sum(case when score > 0 then 1 else 0 end) as bigint)
+          as n_kept,
+        cast(sum(score) as bigint) as sum_score,
+        cast(sum(n_tok) as bigint) as sum_tokens
+ from doc group by lang"""
+
+
 # --------------------------------------------------------- PII redaction
 
 # deterministic PII augmentation: the synthetic corpus is clean word
@@ -1871,6 +1910,8 @@ TEXT_QUERIES = {
     "text_fingerprint": (q_text_fingerprint, o_text_fingerprint),
     "decon_overlap": (q_decon_overlap, o_decon_overlap),
     "text_pii_redact": (q_text_pii_redact, o_text_pii_redact),
+    "quality_score_linear": (q_quality_score_linear,
+                             o_quality_score_linear),
     "sketch_distinct_kmv": (q_sketch_distinct_kmv, o_sketch_distinct_kmv),
     "text_stats": (q_text_stats, o_text_stats),
     "text_langid": (q_text_langid, o_text_langid),

@@ -1,13 +1,16 @@
-"""Decontamination + PII redaction operators (operators/curation.py)."""
+"""Decontamination + PII redaction + quality scoring operators
+(operators/curation.py)."""
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from pyspark.sql import functions as F
 
 from dle.operators.curation import (PII_PATTERNS, decontaminate,
-                                    redact_pii, shingle_expr)
+                                    quality_score, redact_pii,
+                                    shingle_expr)
 
 
 def _shingles(text: str, n: int = 3) -> set:
@@ -89,3 +92,30 @@ def test_redact_pii_counts_and_mask(spark):
     assert "<EMAIL>" in got[0]["redacted"]
     assert got[1]["redacted"].count("<IP>") == 2
     assert "<PHONE>" in got[1]["redacted"]
+
+
+def test_quality_score_matches_reference_impl(spark):
+    """Engine score == a plain-Python reimplementation of the hashed
+    linear model (md5 bucket -> closed-form integer weight), including
+    the empty-string token a blank doc produces."""
+    rows = [(0, "the quick brown fox"), (1, "spam spam spam"),
+            (2, ""), (3, "one"), (4, "a b c the the")]
+
+    def weight(tok: str) -> int:
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 256
+        return b * 2654435761 % 2001 - 1000
+
+    got = {r["doc_id"]: (r["q_n_tokens"], r["q_score_sum"])
+           for r in quality_score(_docs(spark, rows)).collect()}
+    for did, text in rows:
+        toks = text.split(" ")
+        assert got[did] == (len(toks), sum(weight(t) for t in toks)), did
+
+
+def test_quality_score_plan_is_scan_side(spark):
+    """The scoring pass must add zero exchanges — it is a pure
+    projection over the scan."""
+    df = _docs(spark, [(i, "a b c") for i in range(10)])
+    plan = quality_score(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
