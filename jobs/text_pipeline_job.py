@@ -4,18 +4,30 @@ operators: exact dedup (md5 keeper) -> near-dup pruning
 (shingle-minhash LSH candidates + exact 3-gram Jaccard >= threshold,
 keep the lowest doc_id of each near-dup pair) -> repetition-quality
 filter (Gopher-style: drop docs whose duplicate-token fraction
-exceeds a cap) -> quality/language stats -> LM sequence packing
-positions -> one curated parquet output.
+exceeds a cap) -> train/eval decontamination (held-out eval split
+excluded from the corpus; training docs sharing >= 3 shingles with it
+dropped) -> quality/language stats + classifier score -> PII
+redaction -> LM sequence packing positions -> one curated parquet
+output.
 
     python tools/make_pyfiles.py
     spark-submit --master <cluster> --py-files dist/dle.zip \
         jobs/text_pipeline_job.py <docs_dir> <out_dir> \
-        [jaccard_threshold_pct] [max_dup_frac_pct] [pack_capacity]
+        [jaccard_threshold_pct] [max_dup_frac_pct] [pack_capacity] \
+        [decon_mod]
+
+`decon_mod` (default 11, 0 = off) carves the eval suite out of the
+input deterministically (doc_id % decon_mod == 3, the gate's split).
 
 Input: a directory holding `documents.parquet` (doc_id, text, lang —
 other engine tables are optional; missing ones are skipped). Output:
-parquet of surviving docs with quality_score, n_tokens, lang_pred,
-seq_id, offset_in_seq — plus a one-line JSON funnel summary on stdout.
+parquet of surviving docs with quality_score, clf_score, n_tokens,
+lang_pred, text_redacted + per-category PII counts, seq_id,
+offset_in_seq — plus a one-line JSON funnel summary on stdout. The
+`text` column stays byte-identical to the input (the per-url
+invariant); redaction lands in the separate `text_redacted`, and the
+classifier score is reported, not thresholded (the cut is deployment
+policy).
 
 Every stage is the same code the correctness gate checks
 (dle/queries_text.py); this file only composes them.
@@ -35,18 +47,28 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 def main():
     if len(sys.argv) < 3:
         sys.exit("usage: text_pipeline_job.py DOCS OUT_DIR"
-                 " [jacc_pct] [max_dup_frac_pct] [pack_capacity]")
+                 " [jacc_pct] [max_dup_frac_pct] [pack_capacity]"
+                 " [decon_mod]")
     docs_path, out_dir = sys.argv[1:3]
     jacc_pct = int(sys.argv[3]) if len(sys.argv) > 3 else 80
     max_dup_pct = int(sys.argv[4]) if len(sys.argv) > 4 else 90
     capacity = int(sys.argv[5]) if len(sys.argv) > 5 else 2048
+    decon_mod = int(sys.argv[6]) if len(sys.argv) > 6 else 11
 
     spark = SparkSession.builder.appName("dle-text-pipeline") \
         .getOrCreate()
     from dle import queries_text as qt
 
-    docs = spark.read.parquet(f"{docs_path}/documents.parquet")
-    n_in = docs.count()
+    docs_all = spark.read.parquet(f"{docs_path}/documents.parquet")
+    n_in = docs_all.count()
+
+    # 0) carve out the held-out eval suite (never training data)
+    if decon_mod > 0:
+        eval_docs = docs_all.where(F.expr(
+            f"doc_id % {decon_mod} = 3"))
+        docs = docs_all.where(F.expr(f"doc_id % {decon_mod} <> 3"))
+    else:
+        eval_docs, docs = None, docs_all
 
     # 1) exact dedup: keep the min doc_id per md5(text)
     keep_exact = (docs.groupBy(F.md5("text").alias("m"))
@@ -78,6 +100,19 @@ def main():
         .select("doc_id")
     survivors = after_near.join(too_rep, "doc_id", "left_anti")
 
+    # 3b) train/eval decontamination: drop training docs sharing >= 3
+    # distinct 3-gram shingles with any held-out eval doc (broadcast
+    # eval index; matched-rows-only exchange)
+    n_decon = 0
+    if eval_docs is not None:
+        from dle.operators.curation import decontaminate
+        contaminated = decontaminate(
+            docs.join(F.broadcast(survivors), "doc_id"),
+            eval_docs, n=3, min_shared=3).select("doc_id")
+        before = survivors.count()
+        survivors = survivors.join(contaminated, "doc_id", "left_anti")
+        n_decon = before - survivors.count()
+
     # 4) stats on survivors only (re-join by key; text never entered
     # the dedup shuffles beyond hashing — byte-identity discipline)
     stats = qt.q_text_stats(spark, docs_path).select(
@@ -86,6 +121,15 @@ def main():
         "doc_id", "lang_pred")
     curated = (docs.join(F.broadcast(survivors), "doc_id")
                .join(stats, "doc_id").join(lang, "doc_id"))
+
+    # 4b) classifier score (reported, not thresholded — the cut is a
+    # deployment policy) + PII redaction into a SEPARATE column so
+    # `text` stays byte-identical to the input
+    from dle.operators.curation import quality_score, redact_pii
+    curated = quality_score(curated, score_col="clf_score",
+                            ntok_col="clf_n_tokens") \
+        .drop("clf_n_tokens")
+    curated = redact_pii(curated, out_col="text_redacted")
 
     # 5) LM packing positions over the curated corpus (two-pass
     # distributed prefix sum — no global single-task window)
@@ -99,17 +143,27 @@ def main():
 
     n_exact = keep_exact.count()
     n_near = after_near.count()
-    n_out = spark.read.parquet(out_dir).count()
-    n_seqs = (spark.read.parquet(out_dir)
-              .agg(F.max("seq_id")).collect()[0][0] or 0) + 1
+    back = spark.read.parquet(out_dir)
+    n_out = back.count()
+    n_seqs = (back.agg(F.max("seq_id")).collect()[0][0] or 0) + 1
+    pii = back.agg(*(F.sum(c).alias(c) for c in
+                     ("n_email", "n_ipv4", "n_phone"))).collect()[0]
     print(json.dumps({
-        "docs_in": n_in, "after_exact_dedup": n_exact,
+        "docs_in": n_in,
+        "eval_suite_docs": 0 if eval_docs is None
+        else n_in - docs.count(),
+        "after_exact_dedup": n_exact,
         "near_dup_dropped": n_exact - n_near,
-        "repetition_dropped": n_near - n_out, "docs_out": n_out,
+        "decontaminated_dropped": n_decon,
+        "repetition_dropped": n_near - n_decon - n_out,
+        "docs_out": n_out,
+        "pii_redacted": {k: int(pii[k] or 0)
+                         for k in ("n_email", "n_ipv4", "n_phone")},
         "packed_sequences": int(n_seqs),
         "jaccard_threshold_pct": jacc_pct,
         "max_dup_frac_pct": max_dup_pct,
-        "pack_capacity": capacity, "out": out_dir}))
+        "pack_capacity": capacity, "decon_mod": decon_mod,
+        "out": out_dir}))
 
 
 if __name__ == "__main__":

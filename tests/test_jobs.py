@@ -24,8 +24,10 @@ def test_connected_components_chain_and_island(spark):
 
 def test_text_pipeline_job_end_to_end(tmp_path):
     """The spark-submit entry point runs the full curation funnel
-    (exact dedup -> transitive near-dup components -> repetition
-    filter -> stats -> packing) and reports a consistent funnel."""
+    (eval carve-out -> exact dedup -> transitive near-dup components
+    -> repetition filter -> decontamination -> stats + classifier
+    score -> PII redaction -> packing) and reports a consistent
+    funnel."""
     out_dir = tmp_path / "curated"
     res = subprocess.run(
         [sys.executable, "jobs/text_pipeline_job.py",
@@ -37,6 +39,20 @@ def test_text_pipeline_job_end_to_end(tmp_path):
     j = json.loads(line)
     assert 0 < j["docs_out"] <= j["after_exact_dedup"] <= j["docs_in"]
     assert j["near_dup_dropped"] >= 0
+    assert j["decontaminated_dropped"] >= 0
+    # eval suite excluded from training output (doc_id % 11 == 3)
+    assert j["eval_suite_docs"] > 0
     assert j["packed_sequences"] >= 1
     files = list(out_dir.glob("*.parquet"))
     assert files, "curated parquet written"
+    # output schema carries the curation columns; text is untouched
+    import duckdb
+    con = duckdb.connect()
+    cols = {r[0] for r in con.execute(
+        f"describe select * from '{out_dir}/*.parquet'").fetchall()}
+    assert {"clf_score", "text_redacted", "n_email", "n_ipv4",
+            "n_phone", "seq_id", "offset_in_seq"} <= cols
+    (n_eval,) = con.execute(
+        f"select count(*) from '{out_dir}/*.parquet'"
+        " where doc_id % 11 = 3").fetchone()
+    assert n_eval == 0
