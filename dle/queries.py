@@ -652,14 +652,14 @@ _ALL = {**_LOCAL, **KERNEL_QUERIES, **TEXT_QUERIES, **WEB_QUERIES,
 # row may age more than ~2 rounds; a new/changed gate always takes a
 # CORE slot in the round it changes.
 #
-# r5 composition: 5 never-driver-sampled gates (VERDICT r4 #1) + 7 new
-# gates (incl. the decon_overlap/text_pii_redact/quality_score_linear
-# curation ops) + 4 gates whose code/oracle changed this round + all
-# 19 r3-green TAIL members cycled back + 15 r4-green keepers; the 31
-# demoted gates are all r4-green (age 1; asof_click_forward,
-# overlay_clip_area and text_bytes_invariant displaced for the
-# curation gates, their families stay represented) and rotate back
-# r6/r7.
+# r5 composition: 5 never-driver-sampled gates (VERDICT r4 #1) + 8 new
+# gates (incl. the decon_overlap/text_pii_redact/quality_score_linear/
+# streaming_decon_rollup curation ops) + 4 gates whose code/oracle
+# changed this round + all 19 r3-green TAIL members cycled back + 14
+# r4-green keepers; the 32 demoted gates are all r4-green (age 1;
+# asof_click_forward, overlay_clip_area, text_bytes_invariant and
+# range_join_promos displaced for the curation gates, their families
+# stay represented) and rotate back r6/r7.
 CORE_R5 = [
     # never driver-sampled (VERDICT r4 #1 — highest leverage)
     "spatial_polygon_precedence",
@@ -675,6 +675,7 @@ CORE_R5 = [
     "decon_overlap",
     "text_pii_redact",
     "quality_score_linear",
+    "streaming_decon_rollup",
     # code/oracle changed this round
     "multimodal_decode_stats",
     "pipeline_resume_rollup",
@@ -712,7 +713,6 @@ CORE_R5 = [
     "ann_ivf_trained_topk",
     "kmeans_centroids",
     "pack_sequences",
-    "range_join_promos",
     "pages_latest_capture",
     "raster_zonal_stats",
     "spatial_pip_precedence",

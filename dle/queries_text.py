@@ -467,6 +467,42 @@ def o_decon_overlap():
  from ov group by doc_id"""
 
 
+def q_streaming_decon_rollup(spark, sf):
+    """STREAMING decontamination through the correctness gate — the
+    stream-static Structured Streaming shape (the one J-surface join
+    form not previously gated): training docs drained as a file stream
+    (trigger availableNow, fresh checkpoint per invocation), the
+    static eval split's broadcast shingle index applied per
+    micro-batch via foreachBatch running the SAME batch operator
+    (streaming/stateful.py::stream_decontaminate — zero cross-batch
+    state because each doc is batch-atomic and the bench side is
+    static). Oracle = the batch decontamination SQL; multi-batch
+    equality is additionally pytest-proven with maxFilesPerTrigger=1."""
+    import shutil
+    import tempfile
+
+    from .streaming.stateful import stream_decontaminate
+    register_tables(spark, sf)
+    bench = spark.table("documents").where(
+        F.expr("doc_id % 11 = 3")).select("doc_id", "text")
+    ck = tempfile.mkdtemp(prefix="dle_stream_decon_")
+    rows: list = []
+    try:
+        stream_decontaminate(
+            spark, sf, ck, bench, rows,
+            glob="documents.parquet", min_shared=3,
+            where="doc_id % 11 <> 3")
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    schema = ("doc_id bigint, n_bench bigint, max_shared bigint,"
+              " sum_shared bigint")
+    return spark.createDataFrame(rows, schema)
+
+
+def o_streaming_decon_rollup():
+    return o_decon_overlap()
+
+
 # ------------------------------------------------- quality classifier
 
 def q_quality_score_linear(spark, sf):
@@ -1912,6 +1948,8 @@ TEXT_QUERIES = {
     "text_pii_redact": (q_text_pii_redact, o_text_pii_redact),
     "quality_score_linear": (q_quality_score_linear,
                              o_quality_score_linear),
+    "streaming_decon_rollup": (q_streaming_decon_rollup,
+                               o_streaming_decon_rollup),
     "sketch_distinct_kmv": (q_sketch_distinct_kmv, o_sketch_distinct_kmv),
     "text_stats": (q_text_stats, o_text_stats),
     "text_langid": (q_text_langid, o_text_langid),

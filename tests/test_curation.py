@@ -112,6 +112,35 @@ def test_quality_score_matches_reference_impl(spark):
         assert got[did] == (len(toks), sum(weight(t) for t in toks)), did
 
 
+def test_stream_decontaminate_multibatch_equals_batch(spark, tmp_path):
+    """Two forced micro-batches (maxFilesPerTrigger=1 over two staged
+    parquet files) produce exactly the batch operator's result — the
+    zero-cross-batch-state claim in stream_decontaminate's docstring,
+    proven, not assumed."""
+    from dle.streaming.stateful import stream_decontaminate
+
+    corpus = [(0, "a b c d e f g h"), (1, "a b c x y z q r"),
+              (3, "a b c d e f g h i j"), (7, "p q r s t u v")]
+    bench_rows = [(100, "a b c d e f"), (101, "d e f g h i j k")]
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    src = tmp_path / "src"
+    _docs(spark, corpus[:2]).coalesce(1).write.mode("overwrite") \
+        .parquet(str(src / "p0"))
+    _docs(spark, corpus[2:]).coalesce(1).write.mode("append") \
+        .parquet(str(src / "p0"))
+    bench = _docs(spark, bench_rows)
+
+    rows: list = []
+    stream_decontaminate(spark, str(src / "p0"), str(tmp_path / "ck"),
+                         bench, rows, max_files=1, min_shared=3)
+    got = {r["doc_id"]: (r["n_bench"], r["max_shared"], r["sum_shared"])
+           for r in rows}
+    want = {r["doc_id"]: (r["n_bench"], r["max_shared"], r["sum_shared"])
+            for r in decontaminate(_docs(spark, corpus), bench,
+                                   min_shared=3).collect()}
+    assert got == want and 0 in got and 3 in got
+
+
 def test_quality_score_plan_is_scan_side(spark):
     """The scoring pass must add zero exchanges — it is a pure
     projection over the scan."""
