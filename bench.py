@@ -67,9 +67,7 @@ HEADLINE = [
     "multimodal_decode_stats",
     "raster_zonal_stats",
     "overlay_precedence_area_42",
-    "kmeans_centroids",
     "ann_ivf_trained_topk",
-    "sketch_distinct_kmv",
     "range_join_promos",
     "pages_host_rollup",
     "pages_split_assign",
@@ -78,9 +76,6 @@ HEADLINE = [
     "pack_sequences",
     # r4 additions (appended: keeps common-query diffs clean)
     "pages_html_invariant",
-    "qa_class_sums",
-    "overlay_buffer_area",
-    "dedup_components",
     "text_length_quantiles",
     "corpus_filter_stats",
     "spatial_polygon_precedence",
@@ -121,7 +116,6 @@ HEADLINE = [
     "overlay_precedence_multi",
     "spatial_tile_mixed_counts",
     "spatial_pip_mixed_join",
-    "asof_click_forward",
     "text_langid",
     "text_bpe_tokens",
     "text_fingerprint",
@@ -130,6 +124,25 @@ HEADLINE = [
     "decon_overlap",
     "text_pii_redact",
     "quality_score_linear",
+    # r6 rotation (VERDICT r5 #5): qa_compare_designation IN — the
+    # single most expensive registry query (r5 trial: 10.3 s) finally
+    # benched against dropped twins; boundary_build_area back IN for an
+    # honest re-measure (its subdivide stage's row assembly was
+    # columnized this round; r5-leg banked time 8.45 s);
+    # quality_score_trained IN (new gate). Rotated OUT to pay for them
+    # (each banked in BENCH_r05.json, unchanged code, still
+    # correctness-gated): qa_class_sums (5.65 s — the identical
+    # planarize pass now runs inside qa_compare_designation),
+    # kmeans_centroids (3.07 s — Lloyd's iterations measured inside
+    # ann_ivf_trained_topk), asof_click_forward (3.01 s — cogrouped
+    # searchsorted unchanged since r4), overlay_buffer_area (3.18 s —
+    # the buffer kernel runs inside boundary_build_area's marine
+    # dilation), dedup_components (5.29 s — label propagation over the
+    # LSH candidate graph whose banding dedup_ngram_jaccard measures),
+    # sketch_distinct_kmv (1.77 s — scan-side sketch, unchanged).
+    "qa_compare_designation",
+    "boundary_build_area",
+    "quality_score_trained",
     # streaming_decon_rollup measured 5.6 s in its r5 trial but is
     # excluded under the same rule as streaming_resume_rollup: the
     # cost is the availableNow drain's checkpoint/stream setup, not

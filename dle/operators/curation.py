@@ -44,7 +44,8 @@ def shingle_expr(n: int = 3, text_col: str = "text") -> str:
 def decontaminate(corpus: DataFrame, bench: DataFrame, *, n: int = 3,
                   min_shared: int = 3, id_col: str = "doc_id",
                   bench_id_col: str = "bench_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  max_broadcast_shingles: int = 5_000_000) -> DataFrame:
     """Flag corpus documents sharing >= ``min_shared`` distinct word
     ``n``-gram shingles with any benchmark document.
 
@@ -56,9 +57,17 @@ def decontaminate(corpus: DataFrame, bench: DataFrame, *, n: int = 3,
 
     The caller supplies the two sides (e.g. train split vs eval
     split); docs shorter than ``n`` tokens cannot share an n-gram and
-    are dropped on both sides.  ``bench`` must be small enough to
-    broadcast (production eval suites are — assert on row count if in
-    doubt); corpus-side work is one scan + matched-rows-only shuffle.
+    are dropped on both sides.
+
+    AUTO-DISPATCH (VERDICT r5 #2, the pip_polygon_precedence_fold
+    pattern): the bench side is broadcast only while its exploded
+    shingle row count stays at or under ``max_broadcast_shingles``
+    (production eval suites are KB-MB — thousands of docs, well
+    under); a mega-benchmark suite above the cap transparently falls
+    back to a shuffle shingle join (both sides exchange on `_sh`),
+    which returns identical results (pytest-pinned on the gate
+    fixture).  The probe is a limit(cap+1).count() — it never
+    materializes more than cap+1 bench shingle rows.
     """
     sh = shingle_expr(n, text_col)
     guard = f"size(split({text_col}, ' ')) >= {n}"
@@ -68,8 +77,14 @@ def decontaminate(corpus: DataFrame, bench: DataFrame, *, n: int = 3,
                   .select(F.col(id_col).alias(out_id),
                           F.explode(F.expr(sh)).alias("_sh")))
 
-    ov = (rows(corpus, id_col)
-          .join(F.broadcast(rows(bench, bench_id_col)), "_sh")
+    bench_rows = rows(bench, bench_id_col)
+    n_probe = bench_rows.limit(max_broadcast_shingles + 1).count()
+    if n_probe > max_broadcast_shingles:
+        joined = rows(corpus, id_col).join(
+            bench_rows.hint("shuffle_hash"), "_sh")
+    else:
+        joined = rows(corpus, id_col).join(F.broadcast(bench_rows), "_sh")
+    ov = (joined
           .groupBy(id_col, bench_id_col)
           .agg(F.count("*").alias("shared"))
           .where(F.col("shared") >= min_shared))
@@ -82,7 +97,8 @@ def decontaminate(corpus: DataFrame, bench: DataFrame, *, n: int = 3,
 def quality_score(df: DataFrame, text_col: str = "text",
                   n_buckets: int = 256, scale: int = 1000,
                   score_col: str = "q_score_sum",
-                  ntok_col: str = "q_n_tokens") -> DataFrame:
+                  ntok_col: str = "q_n_tokens",
+                  weights: list[int] | None = None) -> DataFrame:
     """Model-based quality scoring (the fastText/CCNet-style classifier
     filter stage): hashed bag-of-words -> per-bucket integer weight ->
     per-doc score sum.
@@ -90,24 +106,42 @@ def quality_score(df: DataFrame, text_col: str = "text",
     Adds ``ntok_col`` (token count) and ``score_col`` (BIGINT sum of
     per-token weights; keep/drop decisions threshold it, e.g. > 0).
     Token bucket = md5-hash % ``n_buckets`` (md5-only cross-engine
-    hashing rule, dle/sqlgen.py); the weight for bucket b is the
-    closed form (b * 2654435761) % (2*scale+1) - scale — an integer in
-    [-scale, scale], standing in for trained weights so the gate is
-    exactly oracle-checkable.  Scores stay INTEGER sums (determinism
+    hashing rule, dle/sqlgen.py).  With ``weights=None`` the weight
+    for bucket b is the closed form (b * 2654435761) % (2*scale+1) -
+    scale — an integer in [-scale, scale], standing in for trained
+    weights so the gate is exactly oracle-checkable.  Passing a
+    TRAINED weight table (len == ``n_buckets``, integer weights —
+    quantize floats upstream) swaps the closed form for an
+    element_at() lookup into a literal weight array WITHOUT changing
+    the plan shape: still a pure scan-side HOF pass, zero exchanges
+    (pytest plan-asserted).  Scores stay INTEGER sums (determinism
     rule: divide only at comparison boundaries).
 
     Scale shape: a pure HOF transform+aggregate inside the scan — no
-    explode, no shuffle, no Python.  With real trained weights the
-    closed form becomes a broadcast map lookup (the
-    queries_text._band_sig_rows pattern); vocab-hashed models are
-    n_buckets-sized, far under broadcast limits.  At 100 TB this is a
-    map-only pass, exactly how fastText filtering runs in production
-    web pipelines.
+    explode, no shuffle, no Python.  The inline-literal weight array
+    is right up to a few thousand buckets (the IVF-codebook inlining
+    rule, CLAUDE.md); a vocab-scale model (100k+ buckets) should use
+    the broadcast-DF-join pattern (queries_text._band_sig_rows)
+    instead.  At 100 TB this is a map-only pass, exactly how fastText
+    filtering runs in production web pipelines.
     """
     toks = f"split({text_col}, ' ')"
-    w = (f"transform({toks}, t ->"
-         f" (cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
-         f" % {n_buckets}) * 2654435761 % {2 * scale + 1} - {scale})")
+    bucket = (f"(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+              f" % {n_buckets})")
+    if weights is None:
+        w = (f"transform({toks}, t ->"
+             f" {bucket} * 2654435761 % {2 * scale + 1} - {scale})")
+    else:
+        if len(weights) != n_buckets:
+            raise ValueError(
+                f"weights must have n_buckets={n_buckets} entries,"
+                f" got {len(weights)}")
+        arr = ("array(" + ",".join(
+            f"cast({int(x)} as bigint)" for x in weights) + ")")
+        # element_at is 1-based and takes an INT index; bucket is a
+        # BIGINT in [0, n_buckets)
+        w = (f"transform({toks}, t ->"
+             f" element_at({arr}, cast({bucket} + 1 as int)))")
     return (df
             .withColumn(ntok_col, F.expr(f"size({toks})"))
             .withColumn(score_col, F.expr(
@@ -118,6 +152,15 @@ def quality_score(df: DataFrame, text_col: str = "text",
 # no backreferences) so Spark (java.util.regex) and DuckDB (RE2)
 # match identically; replacement order is email -> ipv4 -> phone so
 # the later patterns never see an address's local part or dots.
+#
+# KNOWN-LOSSY by design (ADVICE r5): without lookaround these stay
+# deliberately narrow — the phone pattern \b\d{3}-\d{4}\b PARTIALLY
+# matches longer hyphenated numbers (555-123-4567 redacts to
+# 555-<PHONE> because \b fires at the interior hyphen), and the ipv4
+# pattern accepts out-of-range octets (999.999.999.999). Cross-engine
+# parity holds either way; production deployments should swap in
+# fuller patterns (e.g. full NANP phone forms, octet range checks)
+# knowing redaction fidelity here is a floor, not a ceiling.
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
      "<EMAIL>"),

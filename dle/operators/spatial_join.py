@@ -275,8 +275,15 @@ def pip_polygon_precedence_fold(points: DataFrame, polys: DataFrame,
     from ..geom import kernel as K
     from ..geom import wkb as W
 
-    n_feats = polys.count()
-    if n_feats > max_broadcast_features:
+    # Single dimension-side job for dispatch + index build (ADVICE r5
+    # #2): collect at most cap+1 rows; if the cap is exceeded fall back
+    # (only then does the pair path re-execute the dim plan), otherwise
+    # the collected rows ARE the full dimension side — the old separate
+    # count() ran the dim plan twice on the common broadcast path.
+    dim_rows = (polys.select("x0", "y0", "x1", "y1", order_col,
+                             tiebreak, geom)
+                .limit(max_broadcast_features + 1).collect())
+    if len(dim_rows) > max_broadcast_features:
         return _pip_polygon_precedence_pairs(
             points, polys, depth, px=px, py=py, geom=geom,
             order_col=order_col, tiebreak=tiebreak,
@@ -284,8 +291,7 @@ def pip_polygon_precedence_fold(points: DataFrame, polys: DataFrame,
 
     index: dict = {}
     seen: dict = {}
-    for r in polys.select("x0", "y0", "x1", "y1", order_col, tiebreak,
-                          geom).collect():
+    for r in dim_rows:
         t = (float(r["x0"]), float(r["y0"]), float(r["x1"]),
              float(r["y1"]), int(r[order_col]), int(r[tiebreak]),
              bytes(r[geom]))

@@ -38,7 +38,17 @@ def process_vector(spark: SparkSession, sf_dir: str,
                    depth: int = DEFAULT_DEPTH,
                    fused: bool = False,
                    ckpt_root: str | None = None,
-                   n_orders: int = 8) -> VectorOutputs:
+                   n_orders: int = 8,
+                   two_scale: bool = True,
+                   coarse_depth: int | None = None) -> VectorOutputs:
+    """`two_scale=True` (the DEFAULT — VERDICT r5 #4) makes the
+    reference's two-scale grid the standard path: the composed
+    boundary's LAND cells define where the grid is fine
+    (create_tiles.sql:45-63 keeps 1:20k tiles on land, 1:250k at sea);
+    layer features tile coarse outside those cells, so marine-heavy
+    features never explode into fine cells the land clip would only
+    discard. Output is IDENTICAL to single-depth (pytest-pinned) —
+    coarse pieces are exactly the ones with no land overlap."""
     layers = datagen.layers_poly(spark, sf_dir, n_orders=n_orders)
     # A9: compose bc_boundary from raw pieces (marine union + subdivide
     # + tile + precedence insert — designatedlands.py:624-721) instead
@@ -49,12 +59,25 @@ def process_vector(spark: SparkSession, sf_dir: str,
     boundary_t = composed.where(F.col("cls") == "land") \
         .select("cell", "geom")
 
+    # Two-scale grid spec: the coarse cells that contain ANY land are
+    # refined to fine depth; everything else stays coarse. Driver-side
+    # distinct over coarse prefixes of the (already fine-tiled) land
+    # boundary — bounded by 4^coarse_depth rows.
+    if two_scale and depth > 1:
+        cd = coarse_depth if coarse_depth is not None \
+            else max(1, depth - 2)
+        fine_cells = {r["p"] for r in boundary_t.select(
+            F.col("cell").substr(1, cd).alias("p")).distinct().collect()}
+    else:
+        cd, fine_cells = None, None
+
     # A4 create_designations_overlapping: clip each layer to land, then
     # dissolve per (registry attrs, cell) — constants stamped from the
     # registry ride along as group keys
     # (/root/reference/sql/create_designations_overlapping.sql:22-67).
     clipped = clip(layers.select(*REG_KEYS, "geom"), boundary_t, depth,
-                   b_tiled=True)
+                   b_tiled=True, fine_cells=fine_cells,
+                   coarse_depth=cd)
     overlapping = dissolve(clipped, ["cell"] + REG_KEYS)
 
     # A5/A6 precedence loop in ascending process_order. Layers are

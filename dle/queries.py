@@ -652,79 +652,80 @@ _ALL = {**_LOCAL, **KERNEL_QUERIES, **TEXT_QUERIES, **WEB_QUERIES,
 # row may age more than ~2 rounds; a new/changed gate always takes a
 # CORE slot in the round it changes.
 #
-# r5 composition: 5 never-driver-sampled gates (VERDICT r4 #1) + 8 new
-# gates (incl. the decon_overlap/text_pii_redact/quality_score_linear/
-# streaming_decon_rollup curation ops) + 4 gates whose code/oracle
-# changed this round + all 19 r3-green TAIL members cycled back + 14
-# r4-green keepers; the 32 demoted gates are all r4-green (age 1;
-# asof_click_forward, overlay_clip_area, text_bytes_invariant and
-# range_join_promos displaced for the curation gates, their families
-# stay represented) and rotate back r6/r7.
-CORE_R5 = [
-    # never driver-sampled (VERDICT r4 #1 — highest leverage)
-    "spatial_polygon_precedence",
-    "url_canonical_dedup",
-    "text_length_quantiles",
-    "corpus_filter_stats",
-    "corpus_sample_stratified",
+# r6 composition (VERDICT r5 #1 — the only freshness debt left): ALL
+# 32 r4-green TAIL members cycle back in at once, fully discharging
+# the rotation debt in one round (after r6 every gate's last
+# driver-green row is r5 or r6, max green-age 1) + 1 new gate
+# (quality_score_trained, the real-weights classifier swap) + the 11
+# gates whose code paths changed this round (decon broadcast guard,
+# columnized mixed tiling/subdivide, limit-collect fold dispatch,
+# epoch-dedup streaming sinks, optional-PIL decode dispatch) + 6
+# r5-green family keepers. The 33 demoted gates are ALL r5-green
+# (age 1) and rotate back r7/r8.
+CORE_R6 = [
+    # all 32 r4-green TAIL members cycled back (last driver row = r4)
+    "spatial_restriction_max",
+    "spatial_tile_feature_counts",
+    "spatial_pip_polygon",
+    "text_bytes_invariant",
+    "rel_pricing_summary",
+    "rel_join_revenue_by_nation",
+    "rel_anti_join_customers",
+    "overlay_clip_area",
+    "overlay_precedence_area_42",
+    "overlay_planarize_coverage_1d",
+    "qa_compare_designation",
+    "qa_class_sums",
+    "dedup_simhash",
+    "text_fingerprint",
+    "sketch_distinct_kmv",
+    "text_stats",
+    "text_langid",
+    "text_bpe_tokens",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "asof_click_forward",
+    "asof_click_nearest",
+    "range_join_promos",
+    "pages_host_rollup",
+    "pages_split_assign",
+    "text_repetition",
+    "dedup_chunk_shared",
+    "vocab_topk",
+    "pages_topk_per_host",
+    "spatial_cell_pyramid",
+    "raster_precedence_pixels",
+    "raster_forest_pixels",
     # new this round
-    "overlay_precedence_multi",
+    "quality_score_trained",
+    # code paths changed this round (rule: changed gate takes CORE)
+    "decon_overlap",
+    "quality_score_linear",
     "spatial_tile_mixed_counts",
     "spatial_pip_mixed_join",
-    "streaming_resume_rollup",
-    "decon_overlap",
-    "text_pii_redact",
-    "quality_score_linear",
+    "spatial_polygon_precedence",
     "streaming_decon_rollup",
-    # code/oracle changed this round
     "multimodal_decode_stats",
-    "pipeline_resume_rollup",
     "streaming_window_rollup",
-    "spatial_knn_pruned",
-    # r3-green TAIL members cycled back (last driver row = r3)
-    "spatial_cell_assign",
-    "spatial_pip_join",
-    "spatial_rollup_counts",
-    "spatial_clip_area_ha",
-    "spatial_knn",
-    "pages_html_invariant",
-    "rel_top_orders_per_cust",
-    "overlay_precedence_area_1d",
-    "overlay_planarize_labels_1d",
-    "qa_planarized_totals",
-    "dedup_minhash_buckets",
-    "ann_lsh_buckets",
-    "ann_ivf_topk",
-    "multimodal_pipeline_stats",
-    "multimodal_resize_stats",
-    "events_window_stats",
-    "events_sliding_window",
-    "events_sessions",
-    "asof_click_purchase",
-    # r4-green keepers (one per family not otherwise represented)
+    "streaming_resume_rollup",
+    "pipeline_resume_rollup",
     "boundary_build_area",
-    "overlay_buffer_area",
-    "overlay_intersect_pairs",
+    # r5-green keepers (family coverage)
     "overlay_dissolve_area_1d",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "dedup_embedding_cosine",
+    "overlay_precedence_multi",
+    "dedup_minhash_buckets",
     "ann_ivf_trained_topk",
-    "kmeans_centroids",
     "pack_sequences",
-    "pages_latest_capture",
-    "raster_zonal_stats",
-    "spatial_pip_precedence",
+    "spatial_knn_pruned",
 ]
 
-assert len(CORE_R5) == 50, f"CORE must fill exactly 50 slots, got {len(CORE_R5)}"
-assert len(set(CORE_R5)) == 50, "duplicate CORE slot"
-_missing = [n for n in CORE_R5 if n not in _ALL]
+assert len(CORE_R6) == 50, f"CORE must fill exactly 50 slots, got {len(CORE_R6)}"
+assert len(set(CORE_R6)) == 50, "duplicate CORE slot"
+_missing = [n for n in CORE_R6 if n not in _ALL]
 assert not _missing, f"CORE names not registered: {_missing}"
 
-QUERIES = {name: _ALL[name] for name in CORE_R5}
-# ---- TAIL (51+): r4-green twins awaiting rotation back in r6/r7 ----
+QUERIES = {name: _ALL[name] for name in CORE_R6}
+# ---- TAIL (51+): r5-green twins awaiting rotation back in r7/r8 ----
 QUERIES.update({k: v for k, v in _ALL.items() if k not in QUERIES})
 
 

@@ -542,6 +542,52 @@ def o_quality_score_linear():
  from doc group by lang"""
 
 
+# Deterministic non-closed-form "trained" weight table for the
+# real-weights gate (shared by Spark + oracle so the values provably
+# flow through the element_at lookup, not the closed form).
+_TRAINED_W = [((7 * b * b + 13 * b) % 1999) - 999 for b in range(256)]
+
+
+def q_quality_score_trained(spark, sf):
+    """Classifier scoring with a REAL (non-closed-form) weight table
+    (VERDICT r5 #8): the same hashed-BoW pass as quality_score_linear
+    but the per-bucket weight comes from an element_at lookup into an
+    inline literal weight array — the "trained weights swap in without
+    changing the plan" claim, gate-proven (plan shape additionally
+    pytest-asserted as zero-exchange). 256 int weights inline is the
+    IVF-codebook-sized case; vocab-scale models use the broadcast-DF
+    join pattern instead (operators/curation.py::quality_score)."""
+    from .operators.curation import quality_score
+    register_tables(spark, sf)
+    scored = quality_score(spark.table("documents"),
+                           weights=_TRAINED_W)
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr("if(q_score_sum > 0, 1, 0)")).alias("n_kept"),
+        F.sum("q_score_sum").alias("sum_score"),
+        F.sum("q_n_tokens").alias("sum_tokens"))
+
+
+def o_quality_score_trained():
+    arr = "[" + ",".join(str(w) for w in _TRAINED_W) + "]"
+    bucket = "(('0x' || substr(md5(t), 1, 15))::BIGINT % 256)"
+    return f"""
+ with tok as (
+   select doc_id, lang, unnest(string_split(text, ' ')) as t
+   from documents),
+ doc as (
+   select doc_id, lang,
+          sum(list_extract({arr}, cast({bucket} + 1 as int))) as score,
+          count(*) as n_tok
+   from tok group by 1, 2)
+ select lang, cast(count(*) as bigint) as n_docs,
+        cast(sum(case when score > 0 then 1 else 0 end) as bigint)
+          as n_kept,
+        cast(sum(score) as bigint) as sum_score,
+        cast(sum(n_tok) as bigint) as sum_tokens
+ from doc group by lang"""
+
+
 # --------------------------------------------------------- PII redaction
 
 # deterministic PII augmentation: the synthetic corpus is clean word
@@ -1948,6 +1994,8 @@ TEXT_QUERIES = {
     "text_pii_redact": (q_text_pii_redact, o_text_pii_redact),
     "quality_score_linear": (q_quality_score_linear,
                              o_quality_score_linear),
+    "quality_score_trained": (q_quality_score_trained,
+                              o_quality_score_trained),
     "streaming_decon_rollup": (q_streaming_decon_rollup,
                                o_streaming_decon_rollup),
     "sketch_distinct_kmv": (q_sketch_distinct_kmv, o_sketch_distinct_kmv),

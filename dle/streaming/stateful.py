@@ -22,6 +22,29 @@ EVENTS_SCHEMA = ("event_id bigint, user_id bigint, event_type string, "
                  "value double, ts timestamp")
 
 
+def _list_sink(rows: list):
+    """foreachBatch list sink with EPOCH-ID DEDUP (ADVICE r5): Spark's
+    foreachBatch contract re-delivers a micro-batch with the SAME
+    epoch_id on retry, so a bare rows.extend() would double-append;
+    skipping already-seen epochs makes the append idempotent within a
+    run.  The seen-set lives in the closure, so a restart-from-
+    checkpoint that re-delivers an epoch whose sink ran but whose
+    commit did not is NOT covered — that (rare, crash-window) case
+    needs an idempotent TABLE sink in production (e.g. the
+    dynamic-partition-overwrite parquet commit in plans/checkpoint.py,
+    partitioned by epoch_id); the list form is the gate/test harness.
+    """
+    seen: set = set()
+
+    def sink(df, epoch_id):
+        if epoch_id in seen:
+            return
+        seen.add(epoch_id)
+        rows.extend(df.collect())
+
+    return sink
+
+
 def stream_windowed_stats(spark: SparkSession, src_dir: str,
                           checkpoint_dir: str,
                           watermark: str = "1 hour"):
@@ -63,8 +86,7 @@ def stream_windowed_append(spark: SparkSession, src_dir: str,
            .select(F.col("w.start").alias("window_start"),
                    "event_type", "n"))
 
-    def sink(df, epoch_id):
-        rows.extend(df.collect())
+    sink = _list_sink(rows)
 
     q = (agg.writeStream.outputMode("append")
          .foreachBatch(sink)
@@ -121,8 +143,7 @@ def stream_sessions(spark: SparkSession, src_dir: str,
     # stateful operator (state + source offsets survive restarts)
     rows: list = []
 
-    def sink(df, epoch_id):
-        rows.extend(df.collect())
+    sink = _list_sink(rows)
 
     q = (out.writeStream.outputMode("update")
          .foreachBatch(sink)
@@ -157,8 +178,7 @@ def stream_dedup_exact(spark: SparkSession, src_dir: str,
            .dropDuplicatesWithinWatermark(["text_md5"])
            .select("doc_id", "text_md5"))
 
-    def sink(df, epoch_id):
-        rows.extend(df.collect())
+    sink = _list_sink(rows)
 
     q = (src.writeStream.outputMode("append")
          .foreachBatch(sink)
@@ -211,8 +231,7 @@ def stream_dedup_minhash(spark: SparkSession, src_dir: str,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout)
 
-    def sink(df, epoch_id):
-        rows.extend(df.collect())
+    sink = _list_sink(rows)
 
     q = (out.writeStream.outputMode("update")
          .foreachBatch(sink)
@@ -261,7 +280,14 @@ def stream_decontaminate(spark: SparkSession, src_dir: str,
     if where is not None:
         src = src.where(where)
 
+    seen: set = set()
+
     def sink(df, epoch_id):
+        # epoch-id dedup (ADVICE r5) — see _list_sink; custom body
+        # because the batch operator runs inside the sink
+        if epoch_id in seen:
+            return
+        seen.add(epoch_id)
         rows.extend(
             decontaminate(df, bench, min_shared=min_shared).collect())
 

@@ -25,20 +25,22 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 
 def main():
-    if len(sys.argv) < 4:
-        sys.exit("usage: overlay_job.py IN_A IN_B OUT_DIR [depth]")
-    in_a, in_b, out_dir = sys.argv[1:4]
-    depth = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    from dle.config import pop_config
+    argv = sys.argv[1:]
+    cfg = pop_config(argv)   # --config FILE (reference INI format)
+    if len(argv) < 3:
+        sys.exit("usage: overlay_job.py [--config FILE] IN_A IN_B"
+                 " OUT_DIR [depth]")
+    in_a, in_b, out_dir = argv[:3]
+    depth = int(argv[3]) if len(argv) > 3 else cfg["depth"]
 
     spark = SparkSession.builder.appName("dle-overlay").getOrCreate()
-    from dle.config import DEFAULT_DEPTH
     from dle.operators.intersect import spatial_overlay
     from dle.sources.io import dump
 
     a = spark.read.parquet(in_a)
     b = spark.read.parquet(in_b)
-    out = spatial_overlay(
-        a, b, depth=depth if depth is not None else DEFAULT_DEPTH)
+    out = spatial_overlay(a, b, depth=depth)
     dump(out, out_dir)
     n = spark.read.parquet(out_dir).count()
     print(f"overlay wrote {n} rows to {out_dir}")

@@ -22,10 +22,14 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
-        "/root/testdata/sf0.001"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dle_out"
-    depth = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    # --config FILE: reference-format INI merged over defaults
+    # (designatedlands.py:265-285); positional args still win
+    from dle.config import pop_config
+    argv = sys.argv[1:]
+    cfg = pop_config(argv)
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.001"
+    out_dir = argv[1] if len(argv) > 1 else cfg["out_path"]
+    depth = int(argv[2]) if len(argv) > 2 else cfg["depth"]
 
     spark = SparkSession.builder.appName("dle-process-vector") \
         .getOrCreate()

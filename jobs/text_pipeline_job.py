@@ -102,16 +102,23 @@ def main():
 
     # 3b) train/eval decontamination: drop training docs sharing >= 3
     # distinct 3-gram shingles with any held-out eval doc (broadcast
-    # eval index; matched-rows-only exchange)
+    # eval index; matched-rows-only exchange). The dedup lineage
+    # (exact -> near-dup -> repetition) is persisted ONCE here
+    # (ADVICE r5): it feeds the decon probe, the anti-join, the
+    # curated join and the funnel counts — unpersisted it would
+    # recompute for each; n_decon comes from the cached contaminated
+    # frame (every contaminated row is a survivor by construction, so
+    # its count IS the number dropped — no before/after count pair).
+    survivors = survivors.persist()
     n_decon = 0
     if eval_docs is not None:
         from dle.operators.curation import decontaminate
         contaminated = decontaminate(
             docs.join(F.broadcast(survivors), "doc_id"),
-            eval_docs, n=3, min_shared=3).select("doc_id")
-        before = survivors.count()
-        survivors = survivors.join(contaminated, "doc_id", "left_anti")
-        n_decon = before - survivors.count()
+            eval_docs, n=3, min_shared=3).select("doc_id").persist()
+        n_decon = contaminated.count()
+        survivors = survivors.join(contaminated, "doc_id",
+                                   "left_anti").persist()
 
     # 4) stats on survivors only (re-join by key; text never entered
     # the dedup shuffles beyond hashing — byte-identity discipline)
@@ -140,6 +147,7 @@ def main():
     out = curated.join(pos.select("doc_id", "seq_id", "offset_in_seq"),
                        "doc_id")
     out.write.mode("overwrite").parquet(out_dir)
+    survivors.unpersist()
 
     n_exact = keep_exact.count()
     n_near = after_near.count()

@@ -141,6 +141,51 @@ def test_stream_decontaminate_multibatch_equals_batch(spark, tmp_path):
     assert got == want and 0 in got and 3 in got
 
 
+def test_decontaminate_shuffle_fallback_equal(spark):
+    """AUTO-DISPATCH (VERDICT r5 #2): above max_broadcast_shingles the
+    bench side switches from broadcast to a shuffle shingle join —
+    results must be identical on the gate fixture shape, and the
+    fallback plan must actually drop the broadcast."""
+    corpus = [(0, "a b c d e f g h"), (1, "a b c x y z q r"),
+              (2, "p q r s t u v w x y"), (3, "a b c d e f g h i j")]
+    bench = [(100, "a b c d e f"), (101, "d e f g h i j k")]
+    c, b = _docs(spark, corpus), _docs(spark, bench)
+    bc = decontaminate(c, b, min_shared=3)
+    sh = decontaminate(c, b, min_shared=3, max_broadcast_shingles=1)
+    key = lambda r: (r["doc_id"], r["n_bench"], r["max_shared"],
+                     r["sum_shared"])
+    assert sorted(map(key, bc.collect())) == sorted(map(key, sh.collect()))
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_quality_score_trained_weights(spark):
+    """Real-weights swap (VERDICT r5 #8): a non-closed-form weight
+    table scores via element_at over an inline literal array; values
+    match a plain-Python reimplementation and the plan shape is
+    UNCHANGED — still zero exchanges."""
+    rows = [(0, "the quick brown fox"), (1, "spam spam spam"),
+            (2, ""), (3, "one")]
+    # deliberately non-closed-form "trained" table
+    weights = [((7 * b * b + 13 * b) % 1999) - 999 for b in range(256)]
+
+    def score(tok: str) -> int:
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 256
+        return weights[b]
+
+    scored = quality_score(_docs(spark, rows), weights=weights)
+    got = {r["doc_id"]: (r["q_n_tokens"], r["q_score_sum"])
+           for r in scored.collect()}
+    for did, text in rows:
+        toks = text.split(" ")
+        assert got[did] == (len(toks), sum(score(t) for t in toks)), did
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    import pytest
+    with pytest.raises(ValueError):
+        quality_score(_docs(spark, rows), weights=[1, 2, 3])
+
+
 def test_quality_score_plan_is_scan_side(spark):
     """The scoring pass must add zero exchanges — it is a pure
     projection over the scan."""

@@ -93,3 +93,34 @@ def test_png_decode_roundtrip():
         assert (arr == want).all()
     with pytest.raises(ValueError):
         _decode_png(b"\x89PNG\r\n\x1a\nbroken")
+
+
+def test_jpeg_decode_pil_optional():
+    """VERDICT r5 #9: jpeg decodes through Pillow when importable
+    (production parity = pip install); without PIL the documented
+    ValueError fires. The sandbox has no PIL, so the live branch is
+    exercised only where Pillow exists (skip otherwise)."""
+    import numpy as np
+    import pytest
+
+    from dle.operators.multimodal import decode_image
+
+    try:
+        from PIL import Image  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    if not has_pil:
+        with pytest.raises(ValueError, match="pillow"):
+            decode_image(jpeg_ish)
+        return
+    # round-trip a real jpeg through PIL itself
+    import io
+    arr = np.zeros((8, 8, 3), dtype=np.uint8)
+    arr[:, :, 0] = 200
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG")
+    out = decode_image(buf.getvalue())
+    assert out.shape == (8, 8, 3) and out.dtype == np.uint8

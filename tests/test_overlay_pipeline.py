@@ -156,6 +156,68 @@ def test_pipeline_partition_invariance(spark, outputs):
         assert s[c] == pytest.approx(t[c], rel=1e-12)
 
 
+def test_two_scale_default_equals_single_depth(spark, outputs):
+    """VERDICT r5 #4: the DEFAULT two-scale grid path (coarse cells at
+    sea, fine cells where the boundary has land — create_tiles.sql:
+    45-63) must produce bit-identical outputs to single-depth tiling:
+    coarse pieces are exactly the ones the land clip discards. Checked
+    end-to-end on the overlapping layer AND on the final precedence
+    output (rows, cells, and areas)."""
+    single = process_vector(spark, SF, depth=DEPTH, two_scale=False)
+    # coarse_depth=2: at this fixture 9 of 16 depth-2 cells contain
+    # land, so the grid is GENUINELY mixed (7 coarse marine cells) —
+    # the default coarse depth at DEPTH=3 is 1, where all 4 quadrants
+    # touch land and the check would be vacuous
+    mixed = process_vector(spark, SF, depth=DEPTH, two_scale=True,
+                           coarse_depth=2)
+
+    def rows(df):
+        return sorted(
+            (r["cell"], r["designation"], round(r["area_m2"], 6))
+            for r in with_area(df)
+            .select("cell", "designation", "area_m2").collect())
+
+    assert rows(outputs.overlapping) == rows(single.overlapping)
+    assert rows(outputs.designatedlands) == rows(single.designatedlands)
+    assert rows(mixed.overlapping) == rows(single.overlapping)
+    assert rows(mixed.designatedlands) == rows(single.designatedlands)
+    # and the depth-2 grid really is in play: some coarse cell has no
+    # land (otherwise the coarse path was never exercised)
+    from dle.plans.pipeline import F as _F  # noqa: N811
+    land_prefixes = {r["p"] for r in mixed.boundary_tiled.select(
+        _F.col("cell").substr(1, 2).alias("p")).distinct().collect()}
+    assert len(land_prefixes) < 16
+
+
+def test_tile_geoms_grid_partitions_space(spark):
+    """tile_geoms_grid emits each feature cut by the mixed partition:
+    per-feature area is conserved and every emitted piece lies inside
+    its named cell (coarse or fine)."""
+    from dle.cells import cell_bounds
+    from dle.operators.overlay import tile_geoms_grid
+    lay = datagen.layers_poly(spark, SF).limit(20) \
+        .select("feat_id", "geom")
+    fine = {"00", "03", "12"}   # refine three depth-2 cells to depth 4
+    t = tile_geoms_grid(lay, fine, 2, 4)
+    a0 = sum(
+        K.boolean_area(wkb.parse_rings(bytes(r["geom"])), [], "a", 0.1)
+        for r in lay.select("geom").collect())
+    a1 = with_area(t).agg(F.sum("area_m2")).collect()[0][0]
+    assert a1 == pytest.approx(a0, rel=1e-4)
+    for r in t.select("cell", "geom").collect():
+        assert len(r["cell"]) in (2, 4)
+        if len(r["cell"]) == 4:
+            assert r["cell"][:2] in fine
+        else:
+            assert r["cell"] not in fine
+        x0, y0, x1, y1 = cell_bounds(r["cell"])
+        for ring in wkb.parse_rings(bytes(r["geom"])):
+            assert (ring[:, 0] >= x0 - 0.1).all()
+            assert (ring[:, 0] <= x1 + 0.1).all()
+            assert (ring[:, 1] >= y0 - 0.1).all()
+            assert (ring[:, 1] <= y1 + 0.1).all()
+
+
 def test_keep_multi_fused_equals_loop(spark):
     """VERDICT r4 #3: aggregated_insert_difference (keep_multi=True)
     through the fused one-shuffle fold must equal the driver-loop form
