@@ -440,7 +440,13 @@ Arrow workers. The decon stage's corpus side is a pure JVM scan (the
 in-scan shingle HOF); its bench-side broadcast pays the same
 per-execution serialize+send under local-cluster noted above, and its
 only exchange is contamination-sized — at production corpus sizes the
-scan dominates and the stage is map-limited like raster. Run-to-run variance across fresh JVMs is +/-0.1 on
+scan dominates and the stage is map-limited like raster. NOTE the
+decon rows above are SUB-SECOND at sf0.1: below the fixed-cost floor
+(broadcast build + stage submit ~0.3-0.5 s), so their per-stage
+ratios are floor artifacts, not scaling signals — the amplified
+curation-only probe (tools/bench_scaling_curation.py, its own section
+below) is the LLM-surface scaling evidence. Run-to-run variance
+across fresh JVMs is +/-0.1 on
 these ratios; treat single-run deltas under that as noise.
 
 Reference baseline: the reference publishes no throughput numbers
