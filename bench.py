@@ -60,7 +60,6 @@ HEADLINE = [
     "text_stats",
     # r3 additions (keep appended so round-over-round common-query
     # comparisons stay clean)
-    "dedup_ngram_jaccard",
     "multimodal_decode_stats",
     "raster_zonal_stats",
     "overlay_precedence_area_42",
@@ -116,9 +115,7 @@ HEADLINE = [
     "text_bpe_tokens",
     "corpus_sample_stratified",
     # r5 curation additions (new gates always bench in their round)
-    "decon_overlap",
     "text_pii_redact",
-    "quality_score_linear",
     # r6 rotation (VERDICT r5 #5): qa_compare_designation IN — the
     # single most expensive registry query (r5 trial: 10.3 s) finally
     # benched against dropped twins; boundary_build_area back IN for an
@@ -157,8 +154,26 @@ HEADLINE = [
     # excluded under the same rule as streaming_resume_rollup: the
     # cost is the availableNow drain's checkpoint/stream setup, not
     # engine throughput — the underlying operator's engine cost IS
-    # benched (decon_overlap runs the identical broadcast shingle
-    # join batch-side at 1.8 s).
+    # benched (the decon_report gate runs the identical broadcast
+    # shingle join batch-side).
+    # late-r6 gates (new gates always bench in their round):
+    # dedup_survivors (the end-to-end dedup corpus output — banding +
+    # label-propagation components + corpus stamp; measured 5.92 s in
+    # an isolated sf0.1 trial) and decon_report (the per-bench
+    # contamination rollup; 1.31 s same trial). Rotated OUT to pay,
+    # each banked in the 36-query r6 trial leg (/tmp/r6_bench2.log,
+    # total 90.44 s) and still correctness-gated: decon_overlap
+    # (2.53 s — shares _overlap_pairs with the benched decon_report;
+    # same broadcast shingle join, transposed rollup),
+    # quality_score_linear (1.09 s — identical zero-exchange scan plan
+    # as the benched quality_score_trained, closed-form vs broadcast
+    # weights), dedup_ngram_jaccard (2.99 s — its LSH banding is the
+    # same _shingle_lsh_pairs the benched dedup_survivors runs; the
+    # remaining array_intersect verification is a broadcast-pruned
+    # pair-count-bounded projection). Projected roster 35 queries /
+    # ~91 s — same slow-leg margin posture as the accepted 90.44 s leg.
+    "dedup_survivors",
+    "decon_report",
 ]
 
 

@@ -52,3 +52,30 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
         prev = s
     edges.unpersist(False)
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_survivors(corpus: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id", a: str = "doc_a",
+                    b: str = "doc_b") -> DataFrame:
+    """End-to-end near-dup dedup output — the table a production
+    pipeline actually ships: every corpus row stamped with its
+    ``canonical_id`` (min doc id of its near-dup component, itself if
+    it belongs to none) and ``kept`` (1 for the canonical survivor of
+    each component and for every unpaired doc, else 0).
+
+    Scale shape: the component labels cover only docs appearing in
+    >= 1 candidate pair — dup-bounded, potentially a large fraction of
+    a web crawl, so the corpus-labels join is a plain equi-join on the
+    id (AQE broadcasts it when the graph is small, shuffle-hash
+    otherwise); the corpus is touched exactly once. No driver-side
+    materialization anywhere (connected_components collects only a
+    single convergence scalar per pass)."""
+    cc = connected_components(pairs, a, b)
+    canon = F.coalesce(F.col("component"), F.col(id_col))
+    return (corpus
+            .join(cc, corpus[id_col] == cc.node, "left")
+            .select(corpus[id_col],
+                    canon.cast("bigint").alias("canonical_id"))
+            .withColumn("kept",
+                        (F.col(id_col) == F.col("canonical_id"))
+                        .cast("bigint")))

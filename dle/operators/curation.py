@@ -69,6 +69,25 @@ def decontaminate(corpus: DataFrame, bench: DataFrame, *, n: int = 3,
     fixture).  The probe is a limit(cap+1).count() — it never
     materializes more than cap+1 bench shingle rows.
     """
+    ov = _overlap_pairs(corpus, bench, n=n, min_shared=min_shared,
+                        id_col=id_col, bench_id_col=bench_id_col,
+                        text_col=text_col,
+                        max_broadcast_shingles=max_broadcast_shingles)
+    return ov.groupBy(id_col).agg(
+        F.count("*").alias("n_bench"),
+        F.max("shared").alias("max_shared"),
+        F.sum("shared").alias("sum_shared"))
+
+
+def _overlap_pairs(corpus: DataFrame, bench: DataFrame, *, n: int,
+                   min_shared: int, id_col: str, bench_id_col: str,
+                   text_col: str,
+                   max_broadcast_shingles: int) -> DataFrame:
+    """(id_col, bench_id_col, shared) for every corpus x bench doc
+    pair sharing >= ``min_shared`` distinct word n-gram shingles —
+    the physical core shared by ``decontaminate`` (per-corpus-doc
+    rollup) and ``contamination_report`` (per-bench-doc rollup).
+    Broadcast-vs-shuffle dispatch as documented on ``decontaminate``."""
     sh = shingle_expr(n, text_col)
     guard = f"size(split({text_col}, ' ')) >= {n}"
 
@@ -84,14 +103,47 @@ def decontaminate(corpus: DataFrame, bench: DataFrame, *, n: int = 3,
             bench_rows.hint("shuffle_hash"), "_sh")
     else:
         joined = rows(corpus, id_col).join(F.broadcast(bench_rows), "_sh")
-    ov = (joined
-          .groupBy(id_col, bench_id_col)
-          .agg(F.count("*").alias("shared"))
-          .where(F.col("shared") >= min_shared))
-    return ov.groupBy(id_col).agg(
-        F.count("*").alias("n_bench"),
-        F.max("shared").alias("max_shared"),
-        F.sum("shared").alias("sum_shared"))
+    return (joined
+            .groupBy(id_col, bench_id_col)
+            .agg(F.count("*").alias("shared"))
+            .where(F.col("shared") >= min_shared))
+
+
+def contamination_report(corpus: DataFrame, bench: DataFrame, *,
+                         n: int = 3, min_shared: int = 3,
+                         id_col: str = "doc_id",
+                         bench_id_col: str = "bench_id",
+                         text_col: str = "text",
+                         max_broadcast_shingles: int = 5_000_000
+                         ) -> DataFrame:
+    """The TRANSPOSED decontamination rollup — one row per BENCHMARK
+    doc (all of them, zeros included): how many training docs leak it
+    (``n_contaminating``), the largest single-doc shingle overlap
+    (``max_shared``) and the total (``sum_shared``).  This is the
+    table an eval owner reads to decide whether a benchmark is burnt;
+    ``decontaminate`` is the table the corpus owner uses to drop rows.
+
+    Scale shape: identical to ``decontaminate`` up to the matched-pair
+    exchange (contamination-volume sized); the per-bench rollup is a
+    bench-sized groupBy and the zero-fill left join broadcasts it back
+    onto the (KB-MB) bench table — the corpus is still touched exactly
+    once, map-side."""
+    ov = _overlap_pairs(corpus, bench, n=n, min_shared=min_shared,
+                        id_col=id_col, bench_id_col=bench_id_col,
+                        text_col=text_col,
+                        max_broadcast_shingles=max_broadcast_shingles)
+    per = ov.groupBy(bench_id_col).agg(
+        F.count("*").alias("_n"), F.max("shared").alias("_mx"),
+        F.sum("shared").alias("_sm"))
+    base = bench.select(F.col(id_col).alias(bench_id_col))
+    return (base.join(F.broadcast(per), bench_id_col, "left")
+            .select(bench_id_col,
+                    F.coalesce("_n", F.lit(0)).cast("bigint")
+                    .alias("n_contaminating"),
+                    F.coalesce("_mx", F.lit(0)).cast("bigint")
+                    .alias("max_shared"),
+                    F.coalesce("_sm", F.lit(0)).cast("bigint")
+                    .alias("sum_shared")))
 
 
 def quality_score(df: DataFrame, text_col: str = "text",

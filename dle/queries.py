@@ -655,13 +655,14 @@ _ALL = {**_LOCAL, **KERNEL_QUERIES, **TEXT_QUERIES, **WEB_QUERIES,
 # r6 composition (VERDICT r5 #1 — the only freshness debt left): ALL
 # 32 r4-green TAIL members cycle back in at once, fully discharging
 # the rotation debt in one round (after r6 every gate's last
-# driver-green row is r5 or r6, max green-age 1) + 1 new gate
-# (quality_score_trained, the real-weights classifier swap) + the 11
-# gates whose code paths changed this round (decon broadcast guard,
-# columnized mixed tiling/subdivide, limit-collect fold dispatch,
-# epoch-dedup streaming sinks, optional-PIL decode dispatch) + 6
-# r5-green family keepers. The 33 demoted gates are ALL r5-green
-# (age 1) and rotate back r7/r8.
+# driver-green row is r5 or r6, max green-age 1) + 3 new gates
+# (quality_score_trained, the real-weights classifier swap;
+# dedup_survivors, the end-to-end dedup corpus output; decon_report,
+# the per-bench contamination rollup) + the 11 gates whose code paths
+# changed this round (decon broadcast guard, columnized mixed
+# tiling/subdivide, limit-collect fold dispatch, epoch-dedup streaming
+# sinks, optional-PIL decode dispatch) + 4 r5-green family keepers.
+# The 34 demoted gates are ALL r5-green (age 1), rotate back r7/r8.
 CORE_R6 = [
     # all 32 r4-green TAIL members cycled back (last driver row = r4)
     "spatial_restriction_max",
@@ -698,6 +699,8 @@ CORE_R6 = [
     "raster_forest_pixels",
     # new this round
     "quality_score_trained",
+    "dedup_survivors",
+    "decon_report",
     # code paths changed this round (rule: changed gate takes CORE)
     "decon_overlap",
     "quality_score_linear",
@@ -710,10 +713,10 @@ CORE_R6 = [
     "streaming_resume_rollup",
     "pipeline_resume_rollup",
     "boundary_build_area",
-    # r5-green keepers (family coverage)
+    # r5-green keepers (family coverage; dedup_minhash_buckets and
+    # overlay_precedence_multi ceded their slots to the two new r6
+    # gates above — both r5-green age 1, back in r7)
     "overlay_dissolve_area_1d",
-    "overlay_precedence_multi",
-    "dedup_minhash_buckets",
     "ann_ivf_trained_topk",
     "pack_sequences",
     "spatial_knn_pruned",

@@ -305,6 +305,48 @@ def o_dedup_components():
  select doc_id, component from comp"""
 
 
+def q_dedup_survivors(spark, sf):
+    """END-TO-END near-dup dedup output — the table a production
+    pipeline actually ships (every corpus doc stamped with its
+    component's canonical id and a kept flag), closing the dedup
+    family: buckets -> pairs -> components -> SURVIVING CORPUS.
+    Candidates from the shared shingle-minhash LSH bands, components
+    by min-label propagation, canonical = min doc_id; docs in no
+    candidate pair keep themselves. The corpus-labels join is a plain
+    equi-join (AQE broadcasts the dup-bounded label side at gate
+    scale, shuffle-hash at crawl scale where near-dup sets are a
+    large corpus fraction) — operators/components.py::dedup_survivors.
+    Oracle = recursive-CTE transitive closure left-joined back onto
+    documents."""
+    from .operators.components import dedup_survivors
+    register_tables(spark, sf)
+    return dedup_survivors(spark.table("documents").select("doc_id"),
+                           _shingle_lsh_pairs(spark))
+
+
+def o_dedup_survivors():
+    return f"""
+ with recursive {_minhash_band_ctes(shingles=True)},
+ pairs as (
+   select distinct a.doc_id as doc_a, b.doc_id as doc_b
+   from band a join band b
+     on a.band = b.band and a.bucket = b.bucket
+    and a.doc_id < b.doc_id),
+ edges as (select doc_a as u, doc_b as v from pairs
+           union select doc_b as u, doc_a as v from pairs),
+ r(u, v) as (
+   select u, v from edges
+   union
+   select r.u, e.v from r join edges e on e.u = r.v),
+ comp as (select u as doc_id, least(u, min(v)) as component
+          from r group by u)
+ select d.doc_id,
+        cast(coalesce(c.component, d.doc_id) as bigint) as canonical_id,
+        cast(case when coalesce(c.component, d.doc_id) = d.doc_id
+             then 1 else 0 end as bigint) as kept
+ from documents d left join comp c on c.doc_id = d.doc_id"""
+
+
 def o_dedup_ngram_jaccard():
     return f"""
  with {_minhash_band_ctes(shingles=True)},
@@ -465,6 +507,47 @@ def o_decon_overlap():
         cast(max(shared) as bigint) as max_shared,
         cast(sum(shared) as bigint) as sum_shared
  from ov group by doc_id"""
+
+
+def q_decon_report(spark, sf):
+    """The TRANSPOSED decontamination view — one row per BENCHMARK doc
+    (zeros included): how many training docs leak it, the max and the
+    total shingle overlap. Same split and thresholds as decon_overlap,
+    so the two gates pin both rollup directions of the same matched-
+    pair exchange (operators/curation.py::contamination_report); the
+    zero-fill left join additionally pins that sub-n-token and
+    untouched bench docs survive with 0s."""
+    from .operators.curation import contamination_report
+    register_tables(spark, sf)
+    docs = spark.table("documents")
+    return contamination_report(
+        docs.where(F.expr("doc_id % 11 <> 3")),
+        docs.where(F.expr("doc_id % 11 = 3")),
+        n=3, min_shared=3)
+
+
+def o_decon_report():
+    return """
+ with shing as (
+   select distinct doc_id,
+          concat_ws(' ', ts[i], ts[i + 1], ts[i + 2]) as sh
+   from (select doc_id, string_split(text, ' ') as ts from documents
+         where len(string_split(text, ' ')) >= 3) t,
+        lateral (select unnest(generate_series(1, len(ts) - 2)) as i)),
+ ov as (
+   select t.doc_id, b.doc_id as bench_id, count(*) as shared
+   from shing t join shing b on t.sh = b.sh
+   where t.doc_id % 11 <> 3 and b.doc_id % 11 = 3
+   group by 1, 2 having count(*) >= 3),
+ per as (select bench_id, count(*) as n_c, max(shared) as mx,
+                sum(shared) as sm
+         from ov group by bench_id)
+ select d.doc_id as bench_id,
+        cast(coalesce(p.n_c, 0) as bigint) as n_contaminating,
+        cast(coalesce(p.mx, 0) as bigint) as max_shared,
+        cast(coalesce(p.sm, 0) as bigint) as sum_shared
+ from documents d left join per p on p.bench_id = d.doc_id
+ where d.doc_id % 11 = 3"""
 
 
 def q_streaming_decon_rollup(spark, sf):
@@ -1987,10 +2070,12 @@ TEXT_QUERIES = {
     "dedup_simhash": (q_dedup_simhash, o_dedup_simhash),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, o_dedup_ngram_jaccard),
     "dedup_components": (q_dedup_components, o_dedup_components),
+    "dedup_survivors": (q_dedup_survivors, o_dedup_survivors),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                o_dedup_embedding_cosine),
     "text_fingerprint": (q_text_fingerprint, o_text_fingerprint),
     "decon_overlap": (q_decon_overlap, o_decon_overlap),
+    "decon_report": (q_decon_report, o_decon_report),
     "text_pii_redact": (q_text_pii_redact, o_text_pii_redact),
     "quality_score_linear": (q_quality_score_linear,
                              o_quality_score_linear),

@@ -50,6 +50,46 @@ def test_decontaminate_matches_bruteforce(spark):
     assert 4 not in got and 1 not in got and 2 not in got
 
 
+def test_contamination_report_transposes_decontaminate(spark):
+    """Per-bench rollup is the exact transpose of the per-corpus one:
+    same matched-pair set, so the pair counts and shared sums agree;
+    untouched and sub-n-token bench docs survive with zeros."""
+    from dle.operators.curation import contamination_report
+    corpus = [
+        (0, "a b c d e f g h"),
+        (1, "a b c x y z q r"),
+        (3, "a b c d e f g h i j"),
+        (4, "x y"),
+    ]
+    bench = [
+        (100, "a b c d e f"),
+        (101, "d e f g h i j k"),
+        (102, "zz yy xx ww vv"),   # no overlap -> zeros
+        (103, "a b"),              # too short -> zeros
+    ]
+    rep = {r["bench_id"]: (r["n_contaminating"], r["max_shared"],
+                           r["sum_shared"])
+           for r in contamination_report(_docs(spark, corpus),
+                                         _docs(spark, bench),
+                                         min_shared=3).collect()}
+    dec = decontaminate(_docs(spark, corpus), _docs(spark, bench),
+                        min_shared=3).collect()
+    # brute force per bench doc
+    want = {}
+    for bid, bt in bench:
+        hits = [len(_shingles(t) & _shingles(bt)) for _, t in corpus]
+        hits = [c for c in hits if c >= 3]
+        want[bid] = ((len(hits), max(hits), sum(hits)) if hits
+                     else (0, 0, 0))
+    assert rep == want
+    assert len(rep) == len(bench)
+    # transpose identities against decontaminate
+    assert (sum(v[0] for v in rep.values())
+            == sum(r["n_bench"] for r in dec))
+    assert (sum(v[2] for v in rep.values())
+            == sum(r["sum_shared"] for r in dec))
+
+
 def test_decontaminate_plan_broadcasts_bench(spark):
     """The bench side must be a broadcast join — a sort-merge join here
     would shuffle the corpus-side shingle stream (corpus-sized exchange

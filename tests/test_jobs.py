@@ -22,6 +22,26 @@ def test_connected_components_chain_and_island(spark):
     assert got == {2: 2, 5: 2, 9: 2, 20: 20, 21: 20}
 
 
+def test_dedup_survivors_end_to_end(spark):
+    """Every corpus row comes back exactly once; each component keeps
+    exactly its min-id member; unpaired docs keep themselves."""
+    from dle.operators.components import dedup_survivors
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (20, 21)], "doc_a bigint, doc_b bigint")
+    corpus = spark.createDataFrame(
+        [(i,) for i in (1, 2, 5, 9, 20, 21, 40)], "doc_id bigint")
+    rows = dedup_survivors(corpus, pairs).collect()
+    got = {r["doc_id"]: (r["canonical_id"], r["kept"]) for r in rows}
+    assert len(rows) == 7
+    assert got == {1: (1, 1), 2: (2, 1), 5: (2, 0), 9: (2, 0),
+                   20: (20, 1), 21: (20, 0), 40: (40, 1)}
+    # exactly one survivor per canonical id
+    per = {}
+    for did, (canon, kept) in got.items():
+        per[canon] = per.get(canon, 0) + kept
+    assert all(v == 1 for v in per.values())
+
+
 def test_text_pipeline_job_end_to_end(tmp_path):
     """The spark-submit entry point runs the full curation funnel
     (eval carve-out -> exact dedup -> transitive near-dup components
