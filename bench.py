@@ -171,7 +171,18 @@ HEADLINE = [
     # same _shingle_lsh_pairs the benched dedup_survivors runs; the
     # remaining array_intersect verification is a broadcast-pruned
     # pair-count-bounded projection). Projected roster 35 queries /
-    # ~91 s — same slow-leg margin posture as the accepted 90.44 s leg.
+    # ~91 s — same slow-leg margin posture as the accepted 90.44 s leg
+    # (measured: 92.03 s full-leg trial).
+    # dedup_semantic (late-r6 gate) measured 16.47 s min-of-2 in an
+    # isolated sf0.1 trial — too expensive for this round's roster
+    # (the qa_compare_designation r5 precedent: banked measured time +
+    # standing rationale, rotate in next round against dropped twins).
+    # Its three stages are each benched: k-means training + scan-side
+    # assignment (ann_ivf_trained_topk, 4.26 s this trial), min-label
+    # components + survivor stamp (dedup_survivors, 4.64 s), and the
+    # band-collision + exact-cosine verification (the
+    # dedup_embedding_cosine machinery; ~6-7 s of the total, the
+    # 994k-candidate -> 10k-pair cut measured in the same trial).
     "dedup_survivors",
     "decon_report",
 ]

@@ -69,13 +69,23 @@ def dedup_survivors(corpus: DataFrame, pairs: DataFrame,
     id (AQE broadcasts it when the graph is small, shuffle-hash
     otherwise); the corpus is touched exactly once. No driver-side
     materialization anywhere (connected_components collects only a
-    single convergence scalar per pass)."""
+    single convergence scalar per pass).
+
+    Every corpus column passes through (e.g. a cluster id for semantic
+    dedup); output appends (canonical_id, kept)."""
+    clash = {"node", "component", "canonical_id", "kept"} \
+        & set(corpus.columns)
+    if clash:
+        raise ValueError(f"corpus columns collide with survivor "
+                         f"internals: {sorted(clash)}")
     cc = connected_components(pairs, a, b)
-    canon = F.coalesce(F.col("component"), F.col(id_col))
     return (corpus
             .join(cc, corpus[id_col] == cc.node, "left")
-            .select(corpus[id_col],
-                    canon.cast("bigint").alias("canonical_id"))
+            .drop("node")
+            .withColumn("canonical_id",
+                        F.coalesce(F.col("component"), F.col(id_col))
+                        .cast("bigint"))
+            .drop("component")
             .withColumn("kept",
                         (F.col(id_col) == F.col("canonical_id"))
                         .cast("bigint")))

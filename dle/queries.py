@@ -701,6 +701,7 @@ CORE_R6 = [
     "quality_score_trained",
     "dedup_survivors",
     "decon_report",
+    "dedup_semantic",
     # code paths changed this round (rule: changed gate takes CORE)
     "decon_overlap",
     "quality_score_linear",
@@ -713,11 +714,12 @@ CORE_R6 = [
     "streaming_resume_rollup",
     "pipeline_resume_rollup",
     "boundary_build_area",
-    # r5-green keepers (family coverage; dedup_minhash_buckets and
-    # overlay_precedence_multi ceded their slots to the two new r6
-    # gates above — both r5-green age 1, back in r7)
+    # r5-green keepers (family coverage; dedup_minhash_buckets,
+    # overlay_precedence_multi and ann_ivf_trained_topk ceded their
+    # slots to the three new r6 gates above — all r5-green age 1,
+    # back in r7; dedup_semantic runs ann_ivf_trained's k-means
+    # training + assignment machinery, so that family stays sampled)
     "overlay_dissolve_area_1d",
-    "ann_ivf_trained_topk",
     "pack_sequences",
     "spatial_knn_pruned",
 ]

@@ -1525,6 +1525,107 @@ def o_dedup_embedding_cosine():
  from scored where cos >= 0.25"""
 
 
+SEM_COS_THRESH = 0.25  # exactly binary-representable: the threshold
+                       # comparison agrees bit-for-bit cross-engine
+
+
+def q_dedup_semantic(spark, sf):
+    """SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): trained
+    k-means codebook (_kmeans_train — the gated Lloyd's loop) ->
+    zero-exchange scan-side cluster assignment -> near-dup pairs =
+    LSH band-collision candidates that AGREE ON CLUSTER and pass the
+    exact cosine threshold -> min-label components -> surviving-corpus
+    stamp: (vec_id, cid, canonical_id, kept) for every corpus vector.
+
+    Scale divergence from paper SemDeDup (exact within-cluster
+    pairwise): the fixture codebook is K=4, so raw within-cluster
+    pairwise would be quadratic in the corpus — a fixture artifact
+    (production K ~ N / target-cluster-size keeps cluster populations
+    bounded). The gate therefore prescreens candidates with the
+    collision-bounded LSH band signatures (the dedup_embedding_cosine
+    machinery) and keeps the cluster-agreement + exact-cosine tests
+    exact; at production K the two forms coincide in cost shape and
+    this one never enumerates a cluster quadratically."""
+    from .operators.components import dedup_survivors
+    cents, _ = _kmeans_train(spark, sf)   # registers tables
+    assign = (_quantized(spark, "vec_id >= 5")
+              .withColumn("cid", F.expr(_cent_argmax(cents)))
+              .select("vec_id", "cid"))
+    emb = spark.table("embeddings").where("vec_id >= 5").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("v"))
+    bandrows = _band_sig_rows(spark, emb)
+    cand = (bandrows.alias("a").join(
+        bandrows.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b")).distinct())
+    ca = assign.select(F.col("vec_id").alias("vec_a"),
+                       F.col("cid").alias("cid_a"))
+    cb = assign.select(F.col("vec_id").alias("vec_b"),
+                       F.col("cid").alias("cid_b"))
+    qv = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("v").alias("q"))
+    cv = emb.select(F.col("vec_id").alias("vec_b"), "v")
+    pairs = (cand.join(ca, "vec_a").join(cb, "vec_b")
+             .where(F.col("cid_a") == F.col("cid_b"))
+             .join(qv, "vec_a").join(cv, "vec_b")
+             .where(F.expr(f"({_DOT}) / (sqrt({_NQ}) * sqrt({_NV}))")
+                    >= SEM_COS_THRESH)
+             .select(F.col("vec_a").alias("doc_a"),
+                     F.col("vec_b").alias("doc_b")))
+    return dedup_survivors(assign, pairs, id_col="vec_id")
+
+
+def o_dedup_semantic():
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a},"
+           " {a})) * sqrt(list_dot_product({b}, {b})))")
+    sig_cols = _band_sig_sql_cols()
+    bands = " union all ".join(
+        f"select vec_id, {b} as band, s{b} as sig from sigr"
+        for b in range(ANN_BANDS))
+    return f"""
+ with recursive {_kmeans_ctes()},
+ embr as (select vec_id, embedding::DOUBLE[] as v from embeddings
+          where vec_id >= 5),
+ sigr as (select vec_id, v, {sig_cols} from embr),
+ bandr as ({bands}),
+ cand as (
+   select distinct a.vec_id as vec_a, b.vec_id as vec_b
+   from bandr a join bandr b
+     on a.band = b.band and a.sig = b.sig and a.vec_id < b.vec_id),
+ assign as (
+   select vec_id, cid from (
+     select e.vec_id, c.cid,
+            row_number() over (partition by e.vec_id order by
+              {cos.format(a='e.vd', b='c.cv')} desc, c.cid) as r
+     from embd e, c2 c) t where r = 1),
+ spairs as (
+   select p.vec_a, p.vec_b
+   from cand p
+   join assign aa on aa.vec_id = p.vec_a
+   join assign ab on ab.vec_id = p.vec_b and ab.cid = aa.cid
+   join embr ea on ea.vec_id = p.vec_a
+   join embr eb on eb.vec_id = p.vec_b
+   where {cos.format(a='ea.v', b='eb.v')} >= 0.25),
+ sedges as (select vec_a as u, vec_b as w from spairs
+            union select vec_b, vec_a from spairs),
+ sreach(u, w) as (
+   select u, w from sedges
+   union
+   select sreach.u, e.w from sreach join sedges e on e.u = sreach.w),
+ scomp as (select u as vec_id, least(u, min(w)) as component
+           from sreach group by u)
+ select a.vec_id, a.cid,
+        cast(coalesce(c.component, a.vec_id) as bigint) as canonical_id,
+        cast(case when coalesce(c.component, a.vec_id) = a.vec_id
+             then 1 else 0 end as bigint) as kept
+ from assign a left join scomp c on c.vec_id = a.vec_id"""
+
+
 def q_text_bpe_tokens(spark, sf):
     """Token counting (round brief: 'whitespace + a BPE-ish regex'):
     whitespace tokens plus subword-ish runs (letter runs / digit runs /
@@ -2073,6 +2174,7 @@ TEXT_QUERIES = {
     "dedup_survivors": (q_dedup_survivors, o_dedup_survivors),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                o_dedup_embedding_cosine),
+    "dedup_semantic": (q_dedup_semantic, o_dedup_semantic),
     "text_fingerprint": (q_text_fingerprint, o_text_fingerprint),
     "decon_overlap": (q_decon_overlap, o_decon_overlap),
     "decon_report": (q_decon_report, o_decon_report),

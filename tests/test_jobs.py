@@ -23,14 +23,19 @@ def test_connected_components_chain_and_island(spark):
 
 
 def test_dedup_survivors_end_to_end(spark):
-    """Every corpus row comes back exactly once; each component keeps
-    exactly its min-id member; unpaired docs keep themselves."""
+    """Every corpus row comes back exactly once with its extra columns
+    passed through; each component keeps exactly its min-id member;
+    unpaired docs keep themselves."""
     from dle.operators.components import dedup_survivors
     pairs = spark.createDataFrame(
         [(2, 5), (5, 9), (20, 21)], "doc_a bigint, doc_b bigint")
     corpus = spark.createDataFrame(
-        [(i,) for i in (1, 2, 5, 9, 20, 21, 40)], "doc_id bigint")
+        [(i, f"t{i}") for i in (1, 2, 5, 9, 20, 21, 40)],
+        "doc_id bigint, tag string")
     rows = dedup_survivors(corpus, pairs).collect()
+    assert rows[0].asDict().keys() == {"doc_id", "tag",
+                                       "canonical_id", "kept"}
+    assert all(r["tag"] == f"t{r['doc_id']}" for r in rows)
     got = {r["doc_id"]: (r["canonical_id"], r["kept"]) for r in rows}
     assert len(rows) == 7
     assert got == {1: (1, 1), 2: (2, 1), 5: (2, 0), 9: (2, 0),
