@@ -63,7 +63,6 @@ HEADLINE = [
     "multimodal_decode_stats",
     "raster_zonal_stats",
     "overlay_precedence_area_42",
-    "ann_ivf_trained_topk",
     "range_join_promos",
     "pages_host_rollup",
     "pages_split_assign",
@@ -170,21 +169,21 @@ HEADLINE = [
     # weights), dedup_ngram_jaccard (2.99 s — its LSH banding is the
     # same _shingle_lsh_pairs the benched dedup_survivors runs; the
     # remaining array_intersect verification is a broadcast-pruned
-    # pair-count-bounded projection). Projected roster 35 queries /
-    # ~91 s — same slow-leg margin posture as the accepted 90.44 s leg
-    # (measured: 92.03 s full-leg trial).
-    # dedup_semantic (late-r6 gate) measured 16.47 s min-of-2 in an
-    # isolated sf0.1 trial — too expensive for this round's roster
-    # (the qa_compare_designation r5 precedent: banked measured time +
-    # standing rationale, rotate in next round against dropped twins).
-    # Its three stages are each benched: k-means training + scan-side
-    # assignment (ann_ivf_trained_topk, 4.26 s this trial), min-label
-    # components + survivor stamp (dedup_survivors, 4.64 s), and the
-    # band-collision + exact-cosine verification (the
-    # dedup_embedding_cosine machinery; ~6-7 s of the total, the
-    # 994k-candidate -> 10k-pair cut measured in the same trial).
+    # pair-count-bounded projection). A 35-query trial leg with these
+    # two measured 92.03 s.
+    # dedup_semantic (late-r6 gate) first measured 16.47 s isolated —
+    # the driver union-find dispatch in connected_components (collect
+    # probe = the edge list, one job instead of per-pass joins +
+    # convergence collects) brought it to 5.75 s (and dedup_survivors
+    # 4.64 -> 2.91 s, dedup_components 5.29 -> 2.79 s banked), so it
+    # benches this round after all. ann_ivf_trained_topk rotated OUT
+    # to pay (4.26 s isolated r6 trial, banked; its k-means training +
+    # scan-side assignment run identically inside the benched
+    # dedup_semantic; the IVF probe/top-k tail is the r5-banked 4.01 s
+    # twin of the still-benched ANN family).
     "dedup_survivors",
     "decon_report",
+    "dedup_semantic",
 ]
 
 

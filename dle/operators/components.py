@@ -26,9 +26,29 @@ from pyspark.sql import DataFrame, functions as F
 
 def connected_components(pairs: DataFrame, a: str = "doc_a",
                          b: str = "doc_b",
-                         max_iters: int = 32) -> DataFrame:
+                         max_iters: int = 32,
+                         driver_max_edges: int = 2_000_000) -> DataFrame:
     """(node, component) for every node in >= 1 pair; component =
-    min node id reachable. Deterministic for any partitioning."""
+    min node id reachable. Deterministic for any partitioning.
+
+    DISPATCH (the dissolve_auto / decontaminate-guard house pattern):
+    near-dup candidate graphs are dup-bounded — usually tiny relative
+    to the corpus — and the distributed loop pays ~1-2 s of job
+    latency PER PASS (edge persist + propagation join + convergence
+    collect).  At or under ``driver_max_edges`` the edge list is
+    collected once and closed with a path-compressed min-root
+    union-find on the driver: identical output (pytest-pinned), one
+    job total.  The probe is ``limit(cap+1).collect()`` — when under
+    the cap the collected rows ARE the edges, so the probe costs no
+    second execution of the (often expensive) pair plan.  Above the
+    cap — crawl-scale graphs where dup sets are a large corpus
+    fraction — the O(diameter) min-label propagation below runs
+    unchanged.  Pass ``driver_max_edges=0`` to force the distributed
+    path."""
+    if driver_max_edges:
+        rows = pairs.limit(driver_max_edges + 1).collect()
+        if len(rows) <= driver_max_edges:
+            return _driver_components(pairs, rows, a, b)
     edges = (pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
              .unionByName(pairs.select(F.col(b).alias("u"),
                                        F.col(a).alias("v")))
@@ -52,6 +72,36 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
         prev = s
     edges.unpersist(False)
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def _driver_components(pairs: DataFrame, rows: list, a: str,
+                       b: str) -> DataFrame:
+    """Path-compressed union-find with min-id roots over a collected
+    edge list; returns the same (node, component) frame the
+    distributed loop produces."""
+    from pyspark.sql.types import StructField, StructType
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        u, v = r[a], r[b]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru  # root stays the min id of its component
+    out = [(n, find(n)) for n in parent]
+    node_t = pairs.schema[a].dataType
+    schema = StructType([StructField("node", node_t, False),
+                         StructField("component", node_t, False)])
+    return pairs.sparkSession.createDataFrame(out, schema)
 
 
 def dedup_survivors(corpus: DataFrame, pairs: DataFrame,

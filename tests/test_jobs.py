@@ -22,6 +22,24 @@ def test_connected_components_chain_and_island(spark):
     assert got == {2: 2, 5: 2, 9: 2, 20: 20, 21: 20}
 
 
+def test_connected_components_driver_matches_distributed(spark):
+    """The driver union-find dispatch (edges under driver_max_edges)
+    and the distributed min-label propagation (forced with
+    driver_max_edges=0) produce identical (node, component) sets on a
+    graph with chains, a cycle, and islands."""
+    from dle.operators.components import connected_components
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (20, 21),
+             (30, 31), (31, 32), (32, 33), (33, 34)]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    fast = {(r["node"], r["component"])
+            for r in connected_components(pairs).collect()}
+    slow = {(r["node"], r["component"])
+            for r in connected_components(
+                pairs, driver_max_edges=0).collect()}
+    assert fast == slow
+    assert {(3, 1), (12, 10), (21, 20), (34, 30)} <= fast
+
+
 def test_dedup_survivors_end_to_end(spark):
     """Every corpus row comes back exactly once with its extra columns
     passed through; each component keeps exactly its min-id member;
