@@ -110,9 +110,7 @@ HEADLINE = [
     "overlay_precedence_multi",
     "spatial_tile_mixed_counts",
     "spatial_pip_mixed_join",
-    "text_langid",
     "text_bpe_tokens",
-    "corpus_sample_stratified",
     # r5 curation additions (new gates always bench in their round)
     "text_pii_redact",
     # r6 rotation (VERDICT r5 #5): qa_compare_designation IN — the
@@ -184,6 +182,13 @@ HEADLINE = [
     "dedup_survivors",
     "decon_report",
     "dedup_semantic",
+    # ann_pq_topk (late-r6 gate, 3.14 s isolated trial): the PQ memory
+    # path — scan-side encode + ADC scoring + per-query top-k. Paid
+    # for by two banked scan-shape twins from the 35-query trial legs:
+    # text_langid (1.26 s — same corpus scan shape as the benched
+    # text_stats) and corpus_sample_stratified (1.10 s — scan-side
+    # md5-bucket arithmetic like the benched corpus_filter_stats).
+    "ann_pq_topk",
 ]
 
 

@@ -702,6 +702,7 @@ CORE_R6 = [
     "dedup_survivors",
     "decon_report",
     "dedup_semantic",
+    "ann_pq_topk",
     # code paths changed this round (rule: changed gate takes CORE)
     "decon_overlap",
     "quality_score_linear",
@@ -715,11 +716,12 @@ CORE_R6 = [
     "pipeline_resume_rollup",
     "boundary_build_area",
     # r5-green keepers (family coverage; dedup_minhash_buckets,
-    # overlay_precedence_multi and ann_ivf_trained_topk ceded their
-    # slots to the three new r6 gates above — all r5-green age 1,
-    # back in r7; dedup_semantic runs ann_ivf_trained's k-means
-    # training + assignment machinery, so that family stays sampled)
-    "overlay_dissolve_area_1d",
+    # overlay_precedence_multi, ann_ivf_trained_topk and
+    # overlay_dissolve_area_1d ceded their slots to the four new r6
+    # gates above — all r5-green age 1, back in r7; dedup_semantic
+    # runs ann_ivf_trained's k-means training + assignment machinery
+    # and boundary_build_area composes the A2 dissolve, so both
+    # families stay sampled)
     "pack_sequences",
     "spatial_knn_pruned",
 ]

@@ -1529,6 +1529,163 @@ SEM_COS_THRESH = 0.25  # exactly binary-representable: the threshold
                        # comparison agrees bit-for-bit cross-engine
 
 
+# ---- product quantization (IVF-PQ memory path) ----------------------
+PQ_M, PQ_SUB, PQ_C = 8, 8, 4   # 8 subspaces x 8 dims, 4 codewords each
+
+
+def _pq_codebook(spark):
+    """Training-free PQ codebook (the ann_ivf_topk seeding rule):
+    sub-codeword [m][c] = subspace-m slice of corpus vector 5 + c.
+    One PQ_C-row driver collect; float32 -> Python float (double) is
+    the same exact widening both engines apply, and repr() round-trips
+    doubles exactly, so inlined literals agree bit-for-bit."""
+    rows = (spark.table("embeddings")
+            .where(f"vec_id >= 5 and vec_id < {5 + PQ_C}")
+            .orderBy("vec_id").collect())
+    vecs = [[float(x) for x in r["embedding"]] for r in rows]
+    return [[vecs[c][m * PQ_SUB:(m + 1) * PQ_SUB] for c in range(PQ_C)]
+            for m in range(PQ_M)]
+
+
+def _spark_dot(sub: str, lits: list) -> str:
+    arr = "array(" + ", ".join(repr(x) for x in lits) + ")"
+    return (f"aggregate(zip_with({sub}, {arr}, (x, y) -> x * y), 0D,"
+            " (acc, x) -> acc + x)")
+
+
+def _duck_dot(sub: str, lits: list) -> str:
+    arr = "[" + ", ".join(repr(x) for x in lits) + "]"
+    return f"list_dot_product({sub}, {arr})"
+
+
+def q_ann_pq_topk(spark, sf):
+    """Product-quantization ANN (the IVF-PQ MEMORY path the 100-TB
+    story needs: a 64-dim float corpus compresses to PQ_M=8 one-byte
+    codes per vector, so the searchable index is ~32x smaller than
+    the raw vectors and scans stay in memory at corpus sizes where
+    raw floats spill): scan-side PQ ENCODE (per subspace, argmin
+    squared-L2 against the inlined sub-codebook via the constant-free
+    identity ||b||^2 - 2 a.b — ||a||^2 is rank-invariant), then
+    asymmetric-distance (ADC) scoring of every query against the CODES
+    (codeword dot products only — never the raw corpus vector), exact
+    per-query top-k on the ADC score with deterministic tiebreak.
+
+    Scale shape: encode is one zero-exchange scan (codes would persist
+    as the index in production); scoring is scan-side against a
+    PQ_C-row broadcast query set; the only exchange is the per-query
+    top-k (K-row bounded per partition under TakeOrdered-style partial
+    ranking). Ties and floats agree cross-engine: shared double
+    literals (repr round-trip), sequential-fold dots, left-assoc
+    8-term ADC sum, strict-< argmin keeping the lowest code."""
+    register_tables(spark, sf)
+    from pyspark.sql.window import Window
+    cb = _pq_codebook(spark)
+
+    def argmin_m(m):
+        off = m * PQ_SUB
+        sub = f"slice(v, {off + 1}, {PQ_SUB})"
+        structs = ", ".join(
+            f"named_struct('c', {c}, 'd', cast({sum(x * x for x in cb[m][c])!r} as double)"
+            f" - 2 * ({_spark_dot(sub, cb[m][c])}))"
+            for c in range(PQ_C))
+        return (f"aggregate(array({structs}), named_struct('c', -1,"
+                " 'd', cast('Infinity' as double)),"
+                " (acc, x) -> if(x.d < acc.d, x, acc)).c")
+
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))")
+        .alias("v"))
+    codes = emb.where("vec_id >= 5").select(
+        "vec_id",
+        F.expr("array(" + ", ".join(argmin_m(m) for m in range(PQ_M))
+               + ")").alias("codes"))
+    qs = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
+
+    def adc_term(m):
+        off = m * PQ_SUB
+        qsub = f"slice(q, {off + 1}, {PQ_SUB})"
+        cwords = "array(" + ", ".join(
+            "array(" + ", ".join(repr(x) for x in cb[m][c]) + ")"
+            for c in range(PQ_C)) + ")"
+        cw = f"element_at({cwords}, element_at(codes, {m + 1}) + 1)"
+        return (f"(aggregate(zip_with({qsub}, {cw}, (x, y) -> x * y),"
+                " 0D, (acc, x) -> acc + x))")
+
+    adc = " + ".join(adc_term(m) for m in range(PQ_M))
+    scored = (codes.crossJoin(F.broadcast(qs))
+              .select("query_id", "vec_id", F.expr(adc).alias("adc")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(f"rank <= {ANN_K}")
+            .select("query_id", "vec_id", F.col("rank").cast("int"),
+                    F.round("adc", 6).alias("adc_r")))
+
+
+def o_ann_pq_topk():
+    """DuckDB twin. The Spark side inlines the codebook as literals
+    (collected seed vectors); the oracle has no sf path at
+    SQL-generation time, so it expresses the SAME codebook
+    relationally — seed c = corpus vector 5 + c, sub-codeword =
+    1-based inclusive list slice — keeping every arithmetic step
+    (slice, sequential dot, ||b||^2 - 2 a.b with ||b||^2 likewise a
+    sequential self-dot, left-assoc 8-term ADC sum, <=-chain argmin
+    picking the lowest code) order-identical to the Spark
+    expressions, so doubles agree bit-for-bit."""
+    k = ANN_K
+
+    def sub(col, m):
+        a = m * PQ_SUB + 1
+        return f"{col}[{a}:{a + PQ_SUB - 1}]"
+
+    # distances of corpus sub-vector vs seed-c sub-vector
+    def d(m, c):
+        return (f"(list_dot_product({sub(f's{c}.v', m)},"
+                f" {sub(f's{c}.v', m)})"
+                f" - 2 * list_dot_product({sub('e.v', m)},"
+                f" {sub(f's{c}.v', m)}))")
+
+    def code(m):
+        d0, d1, d2, d3 = (d(m, c) for c in range(PQ_C))
+        return (f"(case when {d0} <= {d1} and {d0} <= {d2} and"
+                f" {d0} <= {d3} then 0 when {d1} <= {d2} and"
+                f" {d1} <= {d3} then 1 when {d2} <= {d3} then 2"
+                " else 3 end)")
+
+    codes = ", ".join(f"{code(m)} as c{m}" for m in range(PQ_M))
+
+    def adc_term(m):
+        cases = " ".join(
+            f"when {c} then list_dot_product({sub('q.qv', m)},"
+            f" {sub(f's{c}.v', m)})"
+            for c in range(PQ_C))
+        return f"(case cd.c{m} {cases} end)"
+
+    adc = " + ".join(adc_term(m) for m in range(PQ_M))
+    seeds = ", ".join(
+        f"(select v from emb where vec_id = {5 + c}) s{c}(v)"
+        for c in range(PQ_C))
+    return f"""
+ with emb as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+ cd as (
+   select e.vec_id, {codes}
+   from emb e, {seeds}
+   where e.vec_id >= 5),
+ q as (select vec_id as query_id, v as qv from emb where vec_id < 5),
+ scored as (
+   select q.query_id, cd.vec_id, {adc} as adc
+   from cd, q, {seeds}),
+ ranked as (
+   select query_id, vec_id, adc,
+          row_number() over (partition by query_id
+                             order by adc desc, vec_id) as rank
+   from scored)
+ select query_id, vec_id, cast(rank as int) as rank,
+        round(adc, 6) as adc_r
+ from ranked where rank <= {k}"""
+
+
 def q_dedup_semantic(spark, sf):
     """SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): trained
     k-means codebook (_kmeans_train — the gated Lloyd's loop) ->
@@ -2175,6 +2332,7 @@ TEXT_QUERIES = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                o_dedup_embedding_cosine),
     "dedup_semantic": (q_dedup_semantic, o_dedup_semantic),
+    "ann_pq_topk": (q_ann_pq_topk, o_ann_pq_topk),
     "text_fingerprint": (q_text_fingerprint, o_text_fingerprint),
     "decon_overlap": (q_decon_overlap, o_decon_overlap),
     "decon_report": (q_decon_report, o_decon_report),
