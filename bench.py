@@ -50,12 +50,10 @@ from dle.session import get_spark  # noqa: E402
 HEADLINE = [
     "spatial_pip_precedence",
     "spatial_clip_area_ha",
-    "spatial_tile_feature_counts",
     "rel_pricing_summary",
     "rel_top_orders_per_cust",
     "spatial_knn_pruned",
     "rel_join_revenue_by_nation",
-    "overlay_dissolve_area_1d",
     "dedup_exact",
     "text_stats",
     # r3 additions (keep appended so round-over-round common-query
@@ -65,12 +63,10 @@ HEADLINE = [
     "overlay_precedence_area_42",
     "range_join_promos",
     "pages_host_rollup",
-    "pages_split_assign",
     "text_repetition",
     "vocab_topk",
     "pack_sequences",
     # r4 additions (appended: keeps common-query diffs clean)
-    "pages_html_invariant",
     "text_length_quantiles",
     "corpus_filter_stats",
     # r5 rotation: new gates + previously-unbenched registry members
@@ -110,7 +106,6 @@ HEADLINE = [
     "overlay_precedence_multi",
     "spatial_tile_mixed_counts",
     "spatial_pip_mixed_join",
-    "text_bpe_tokens",
     # r5 curation additions (new gates always bench in their round)
     "text_pii_redact",
     # r6 rotation (VERDICT r5 #5): qa_compare_designation IN — the
@@ -189,6 +184,27 @@ HEADLINE = [
     # text_stats) and corpus_sample_stratified (1.10 s — scan-side
     # md5-bucket arithmetic like the benched corpus_filter_stats).
     "ann_pq_topk",
+    # bpe_train_merges (late-r6 gate, 4.62 s isolated trial): BPE
+    # tokenizer TRAINING — per round a pair-count groupBy, a 1-row
+    # driver pull, and a zero-exchange merge fold. Paid for by two
+    # banked twins (r6 trial legs, still correctness-gated):
+    # text_bpe_tokens (0.86 s — the APPLY side; the train gate scans
+    # the same corpus and does strictly more per token) and
+    # pages_html_invariant (1.25 s — equi-join + byte rollup; the join
+    # path is benched by rel_join_revenue_by_nation, the doc scan by
+    # text_stats).
+    "bpe_train_merges",
+    # final r6 margin trim: a 33-query leg with bpe_train_merges
+    # measured 96.33 s (a ~10% slow leg) — over the ~95 s soft cap, so
+    # three twins measured in that same leg went out (banked there,
+    # all still correctness-gated): overlay_dissolve_area_1d (2.63 s —
+    # the A2 dissolve is composed inside the benched
+    # boundary_build_area and every precedence gate),
+    # spatial_tile_feature_counts (1.77 s — single-depth tiling; the
+    # benched spatial_tile_mixed_counts runs the superset mixed-depth
+    # tiler), pages_split_assign (1.60 s — url-hash split arithmetic,
+    # the same scan shape as the benched pages_host_rollup /
+    # corpus_filter_stats).
 ]
 
 

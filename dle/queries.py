@@ -703,6 +703,7 @@ CORE_R6 = [
     "decon_report",
     "dedup_semantic",
     "ann_pq_topk",
+    "bpe_train_merges",
     # code paths changed this round (rule: changed gate takes CORE)
     "decon_overlap",
     "quality_score_linear",
@@ -715,14 +716,13 @@ CORE_R6 = [
     "streaming_resume_rollup",
     "pipeline_resume_rollup",
     "boundary_build_area",
-    # r5-green keepers (family coverage; dedup_minhash_buckets,
-    # overlay_precedence_multi, ann_ivf_trained_topk and
-    # overlay_dissolve_area_1d ceded their slots to the four new r6
-    # gates above — all r5-green age 1, back in r7; dedup_semantic
-    # runs ann_ivf_trained's k-means training + assignment machinery
-    # and boundary_build_area composes the A2 dissolve, so both
-    # families stay sampled)
-    "pack_sequences",
+    # r5-green keeper (family coverage; dedup_minhash_buckets,
+    # overlay_precedence_multi, ann_ivf_trained_topk,
+    # overlay_dissolve_area_1d and pack_sequences ceded their slots to
+    # the five new r6 gates above — all r5-green age 1, back in r7;
+    # dedup_semantic runs ann_ivf_trained's k-means training +
+    # assignment machinery and boundary_build_area composes the A2
+    # dissolve, so those families stay sampled)
     "spatial_knn_pruned",
 ]
 

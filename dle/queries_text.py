@@ -1529,6 +1529,119 @@ SEM_COS_THRESH = 0.25  # exactly binary-representable: the threshold
                        # comparison agrees bit-for-bit cross-engine
 
 
+# ---- BPE tokenizer training (iterative top-pair merges) -------------
+BPE_ROUNDS = 3
+
+
+def _sql_str(s: str) -> str:
+    """Spark SQL string literal (backslash escaping)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _bpe_merge_expr(col: str, pa_lit: str, pb_lit: str) -> str:
+    """LEFT-TO-RIGHT NON-OVERLAPPING merge of adjacent pair (pa, pb)
+    into one token 'pa pb' — the BPE apply step — as a scan-side
+    aggregate fold over token indices with (out, skip) struct state
+    (skip consumes the merged right-hand token). The oracle twin
+    (o_bpe_train_merges) folds the same index walk via list_reduce
+    with a string-encoded accumulator (DuckDB 1.0 list_reduce drops
+    nested-list struct state, measured; a chr(30)-joined string
+    carries) — same walk, same emissions, byte-equal tokens."""
+    return (
+        f"aggregate(sequence(1, size({col})),"
+        f" named_struct('out', slice({col}, 1, 0), 'skip', false),"
+        " (acc, i) -> case"
+        " when acc.skip then named_struct('out', acc.out, 'skip', false)"
+        f" when i < size({col}) and element_at({col}, i) = {pa_lit}"
+        f" and element_at({col}, i + 1) = {pb_lit}"
+        " then named_struct('out', concat(acc.out,"
+        f" array(concat({pa_lit}, ' ', {pb_lit}))), 'skip', true)"
+        " else named_struct('out', concat(acc.out,"
+        f" array(element_at({col}, i))), 'skip', false)"
+        " end).out")
+
+
+def q_bpe_train_merges(spark, sf):
+    """BPE TOKENIZER TRAINING — the first BPE_ROUNDS merge rounds of
+    the byte-pair-encoding training loop over the corpus (the step
+    before the gated q_text_bpe_tokens APPLIES a tokenizer): per
+    round, count all adjacent token pairs (scan-side zip_with explode
+    -> one map-side-combinable groupBy), pick the most frequent pair
+    (deterministic (cnt desc, pa, pb) tiebreak; ONE collected row),
+    merge its occurrences left-to-right non-overlapping into a new
+    token, repeat on the merged corpus. Output: (merge_round, pa, pb,
+    cnt) — the learned merge table.
+
+    The k-means-loop shape: per round one corpus scan + one bounded
+    shuffle + a 1-row driver pull; the merge is a zero-exchange HOF.
+    The 3-round lineage chain recomputes earlier folds (1+2+3 scans
+    total) — at production scale persist each round's token column
+    (or write it back to the corpus store) so training rounds stay
+    one-scan. Oracle = the identical rounds unrolled relationally
+    (window top-1 per round, list_reduce merge fold)."""
+    register_tables(spark, sf)
+    docs = spark.table("documents") \
+        .where("size(split(text, ' ')) >= 2") \
+        .select(F.expr("split(text, ' ')").alias("c"))
+    out = []
+    cur = docs
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = (cur.select(F.explode(F.expr(
+            "zip_with(slice(c, 1, size(c) - 1), slice(c, 2,"
+            " size(c) - 1), (x, y) -> named_struct('pa', x, 'pb', y))"))
+            .alias("p"))
+            .groupBy("p.pa", "p.pb").agg(F.count("*").alias("cnt")))
+        top = pairs.orderBy(F.desc("cnt"), "pa", "pb").limit(1) \
+            .collect()[0]
+        out.append((r, top["pa"], top["pb"], int(top["cnt"])))
+        cur = cur.select(F.expr(_bpe_merge_expr(
+            "c", _sql_str(top["pa"]), _sql_str(top["pb"]))).alias("c"))
+    return spark.createDataFrame(
+        out, "merge_round int, pa string, pb string, cnt bigint")
+
+
+def o_bpe_train_merges():
+    def merge(col, pa, pb):
+        return f"""string_split((list_reduce(
+   list_concat(['0'], list_transform(generate_series(1, len({col})),
+                                     k -> cast(k as varchar))),
+   (acc, x) -> case
+      when acc[1:1] = '1' then '0' || acc[2:]
+      when cast(x as int) < len({col})
+           and {col}[cast(x as int)] = {pa}
+           and {col}[cast(x as int) + 1] = {pb}
+           then '1' || acc[2:] || chr(30) || {pa} || ' ' || {pb}
+      else '0' || acc[2:] || chr(30) || {col}[cast(x as int)]
+   end))[2:], chr(30))[2:]"""
+
+    rounds = []
+    for r in range(1, BPE_ROUNDS + 1):
+        rounds.append(f"""
+ pairs{r} as (
+   select t{r}.c[i] as pa, t{r}.c[i + 1] as pb,
+          cast(count(*) as bigint) as cnt
+   from t{r}, lateral (
+     select unnest(generate_series(1, len(t{r}.c) - 1)) as i)
+   group by 1, 2),
+ top{r} as (
+   select pa, pb, cnt from (
+     select pa, pb, cnt,
+            row_number() over (order by cnt desc, pa, pb) as rn
+     from pairs{r}) where rn = 1),
+ t{r + 1} as (
+   select {merge(f't{r}.c', f'top{r}.pa', f'top{r}.pb')} as c
+   from t{r}, top{r})""")
+    sel = "\n union all ".join(
+        f"select {r} as merge_round, pa, pb, cnt from top{r}"
+        for r in range(1, BPE_ROUNDS + 1))
+    return f"""
+ with t1 as (
+   select string_split(text, ' ') as c from documents
+   where len(string_split(text, ' ')) >= 2),
+{",".join(rounds)}
+ {sel}"""
+
+
 # ---- product quantization (IVF-PQ memory path) ----------------------
 PQ_M, PQ_SUB, PQ_C = 8, 8, 4   # 8 subspaces x 8 dims, 4 codewords each
 
@@ -2333,6 +2446,7 @@ TEXT_QUERIES = {
                                o_dedup_embedding_cosine),
     "dedup_semantic": (q_dedup_semantic, o_dedup_semantic),
     "ann_pq_topk": (q_ann_pq_topk, o_ann_pq_topk),
+    "bpe_train_merges": (q_bpe_train_merges, o_bpe_train_merges),
     "text_fingerprint": (q_text_fingerprint, o_text_fingerprint),
     "decon_overlap": (q_decon_overlap, o_decon_overlap),
     "decon_report": (q_decon_report, o_decon_report),
