@@ -54,18 +54,23 @@ _wkb_udf = F.pandas_udf(
 
 def layers_poly(spark: SparkSession, sf_dir: str,
                 n_orders: int = 8) -> DataFrame:
-    """Designation features as WKB polygons + registry columns."""
-    sqlgen.register_tables(spark, sf_dir)
-    pre = sqlgen.preamble("spark", pages=False, n_orders=n_orders)
-    df = spark.sql(pre + """
+    """Designation features as WKB polygons + registry columns.
+    Lazy plan memoized per (session, dir, n_orders) — sqlgen.memo_frame;
+    every action recomputes from parquet."""
+    def build():
+        sqlgen.register_tables(spark, sf_dir)
+        pre = sqlgen.preamble("spark", pages=False, n_orders=n_orders)
+        df = spark.sql(pre + """
  select l.feat_id, l.process_order, l.designation, l.src_id, l.src_name,
         l.x0, l.y0, l.x1, l.y1,
         l.forest_restriction, l.og_restriction, l.mine_restriction,
         r.r5
  from layers l join _l4 r on r.feat_id = l.feat_id""")
-    df = df.withColumn(
-        "geom", _wkb_udf("feat_id", "r5", "x0", "y0", "x1", "y1"))
-    return df.drop("r5")
+        df = df.withColumn(
+            "geom", _wkb_udf("feat_id", "r5", "x0", "y0", "x1", "y1"))
+        return df.drop("r5")
+    return sqlgen.memo_frame(spark, sf_dir, ("layers_poly", n_orders),
+                             build)
 
 
 def tris_poly(spark: SparkSession, sf_dir: str,
@@ -74,26 +79,32 @@ def tris_poly(spark: SparkSession, sf_dir: str,
     layer fixture — see sqlgen.tris_ctes for the boundary-free
     construction). orient 0 keeps the lower-left half of the bbox,
     orient 1 the upper-right half."""
-    sqlgen.register_tables(spark, sf_dir)
-    df = spark.sql(
-        sqlgen.preamble("spark", pages=False, layers=False, tris=True,
-                        n_orders=n_orders)
-        + " select * from tris")
+    def build():
+        sqlgen.register_tables(spark, sf_dir)
+        df = spark.sql(
+            sqlgen.preamble("spark", pages=False, layers=False,
+                            tris=True, n_orders=n_orders)
+            + " select * from tris")
+        return df.withColumn(
+            "geom", _tri_wkb_udf("orient", "x0", "y0", "x1", "y1"))
+    return sqlgen.memo_frame(spark, sf_dir, ("tris_poly", n_orders),
+                             build)
 
-    def tri_wkb(orient, x0, y0, x1, y1):
-        out = []
-        for o, a, b, c, d in zip(orient, x0, y0, x1, y1):
-            if int(o) == 0:
-                pts = np.array([[a, b], [c, b], [a, d], [a, b]],
-                               dtype=np.float64)
-            else:
-                pts = np.array([[c, b], [c, d], [a, d], [c, b]],
-                               dtype=np.float64)
-            out.append(wkb.polygon_wkb([pts]))
-        return pd.Series(out)
 
-    to_wkb = F.pandas_udf(tri_wkb, BinaryType())
-    return df.withColumn("geom", to_wkb("orient", "x0", "y0", "x1", "y1"))
+def _tri_wkb(orient, x0, y0, x1, y1):
+    out = []
+    for o, a, b, c, d in zip(orient, x0, y0, x1, y1):
+        if int(o) == 0:
+            pts = np.array([[a, b], [c, b], [a, d], [a, b]],
+                           dtype=np.float64)
+        else:
+            pts = np.array([[c, b], [c, d], [a, d], [c, b]],
+                           dtype=np.float64)
+        out.append(wkb.polygon_wkb([pts]))
+    return pd.Series(out)
+
+
+_tri_wkb_udf = F.pandas_udf(_tri_wkb, BinaryType())
 
 
 def boundary_land(spark: SparkSession) -> DataFrame:
@@ -164,14 +175,17 @@ def bands_1d(spark: SparkSession, sf_dir: str,
     dissolves them as real 2-D WKB polygons; the DuckDB oracle computes
     the same union area as 1-D interval islands (gate-checkable
     dissolve, SURVEY §5)."""
-    sqlgen.register_tables(spark, sf_dir)
-    df = spark.sql(
-        sqlgen.preamble("spark", pages=False, layers=False, bands=True,
-                        n_orders=n_orders)
-        + " select * from bands")
-    to_wkb = F.pandas_udf(
-        lambda x0, y0, x1, y1: pd.Series(
-            [wkb.polygon_wkb([_rect_pts(a, b, c, d)])
-             for a, b, c, d in zip(x0, y0, x1, y1)]),
-        BinaryType())
-    return df.withColumn("geom", to_wkb("bx0", "by0", "bx1", "by1"))
+    def build():
+        sqlgen.register_tables(spark, sf_dir)
+        df = spark.sql(
+            sqlgen.preamble("spark", pages=False, layers=False,
+                            bands=True, n_orders=n_orders)
+            + " select * from bands")
+        to_wkb = F.pandas_udf(
+            lambda x0, y0, x1, y1: pd.Series(
+                [wkb.polygon_wkb([_rect_pts(a, b, c, d)])
+                 for a, b, c, d in zip(x0, y0, x1, y1)]),
+            BinaryType())
+        return df.withColumn("geom", to_wkb("bx0", "by0", "bx1", "by1"))
+    return sqlgen.memo_frame(spark, sf_dir, ("bands_1d", n_orders),
+                             build)

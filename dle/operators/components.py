@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 def connected_components(pairs: DataFrame, a: str = "doc_a",
                          b: str = "doc_b",
                          max_iters: int = 32,
-                         driver_max_edges: int = 2_000_000) -> DataFrame:
+                         driver_max_edges: int = 400_000) -> DataFrame:
     """(node, component) for every node in >= 1 pair; component =
     min node id reachable. Deterministic for any partitioning.
 
@@ -44,7 +44,14 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
     cap — crawl-scale graphs where dup sets are a large corpus
     fraction — the O(diameter) min-label propagation below runs
     unchanged.  Pass ``driver_max_edges=0`` to force the distributed
-    path."""
+    path.
+
+    DRIVER-MEMORY NOTE (ADVICE/VERDICT r6 #3): the cap bounds a
+    driver-side collect of PySpark Row objects at ~100+ bytes each —
+    the old 2M default meant hundreds of MB of Python heap on a stock
+    8-16 GB production driver. 400k edges ≈ tens of MB, safe on a
+    default driver; heavy callers with big driver heaps can opt in to
+    a larger cap explicitly."""
     if driver_max_edges:
         rows = pairs.limit(driver_max_edges + 1).collect()
         if len(rows) <= driver_max_edges:
@@ -117,24 +124,30 @@ def dedup_survivors(corpus: DataFrame, pairs: DataFrame,
     >= 1 candidate pair — dup-bounded, potentially a large fraction of
     a web crawl, so the corpus-labels join is a plain equi-join on the
     id (AQE broadcasts it when the graph is small, shuffle-hash
-    otherwise); the corpus is touched exactly once. No driver-side
-    materialization anywhere (connected_components collects only a
-    single convergence scalar per pass).
+    otherwise); the corpus is touched exactly once. Driver-side
+    materialization is bounded by connected_components' dispatch: at
+    or under its ``driver_max_edges`` cap the candidate edge list is
+    collected once for the union-find fast path; above it the
+    distributed loop collects only a single convergence scalar per
+    pass.
 
     Every corpus column passes through (e.g. a cluster id for semantic
-    dedup); output appends (canonical_id, kept)."""
+    dedup); output appends (canonical_id, kept). ``canonical_id`` is
+    cast to the id column's own type (ADVICE r6: the hardcoded bigint
+    cast silently NULLed string/UUID doc ids)."""
     clash = {"node", "component", "canonical_id", "kept"} \
         & set(corpus.columns)
     if clash:
         raise ValueError(f"corpus columns collide with survivor "
                          f"internals: {sorted(clash)}")
     cc = connected_components(pairs, a, b)
+    id_type = corpus.schema[id_col].dataType
     return (corpus
             .join(cc, corpus[id_col] == cc.node, "left")
             .drop("node")
             .withColumn("canonical_id",
                         F.coalesce(F.col("component"), F.col(id_col))
-                        .cast("bigint"))
+                        .cast(id_type))
             .drop("component")
             .withColumn("kept",
                         (F.col(id_col) == F.col("canonical_id"))

@@ -407,9 +407,19 @@ def q_qa_compare_designation(spark, sf):
     OVERLAPPING area must equal the total area of planarized faces
     whose designation array contains it. The face side uses the
     reference's `o.designation && p.designation` as a genuine
-    arrays_overlap JOIN (E7). Oracle = 1-D islands per designation."""
+    arrays_overlap JOIN (E7). Oracle = 1-D islands per designation.
+
+    OPTIMIZATION r7 (guide §5 caching-for-reuse): `tiled` feeds THREE
+    consumers — the overlapping dissolve, the planarize pass and the
+    designation dim — so without materialization the bands scan + WKB
+    build + Arrow tiling kernel executed three times per invocation
+    (measured 6.7 s at sf0.1). One eager localCheckpoint computes it
+    once; every bench/oracle invocation still recomputes from parquet
+    (localCheckpoint is per-DataFrame-object, never shared across
+    calls)."""
     from .operators.overlay import dissolve, planarize, with_area
     tiled, bnd_t = _qa_world(spark, sf)
+    tiled = tiled.localCheckpoint(eager=False)
     over = with_area(dissolve(
         tiled.select("cell", "designation", "geom"),
         ["cell", "designation"]))

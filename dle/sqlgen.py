@@ -233,6 +233,43 @@ def preamble(dialect: str, *, pages: bool = True, layers: bool = True,
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Registration/view memo (OPTIMIZATION r7, guide §5 "the driver should
+# do almost no data work" / §6 file-listing cost): register_tables ran
+# inside EVERY query call — 10 parquet footer reads + a DataFrame->RDD
+# partition probe + 10 temp-view swaps — measured ~1.0 s of pure
+# driver-side latency per call at sf0.1, ~30 s across the 30-query
+# bench suite. Registration is CATALOG setup, not query work: memoize
+# it per (session, dir) with a parquet (size, mtime_ns) fingerprint so
+# regenerated fixtures self-invalidate (the checkpoint-root rule,
+# CLAUDE.md). NO query RESULTS are cached anywhere — memoized view
+# DataFrames are lazy plans; every action recomputes from the parquet.
+_REGISTERED: dict = {}  # id(spark) -> (spark, sf_dir, fingerprint)
+_VIEWS: dict = {}       # (id(spark), sf_dir, name) -> (spark, fp, df)
+_FRAMES: dict = {}      # (id(spark), sf_dir, key) -> (spark, fp, df)
+
+
+def _dir_fingerprint(sf_dir: str) -> str:
+    from pathlib import Path
+    parts = []
+    for t in TABLES:
+        p = Path(f"{sf_dir}/{t}.parquet")
+        if p.exists():
+            st = p.stat()
+            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
+def _prune_stopped_sessions() -> None:
+    for store in (_REGISTERED, _VIEWS, _FRAMES):
+        for k in list(store):
+            sess = store[k][0]
+            try:
+                alive = sess.sparkContext._jsc is not None
+            except Exception:
+                alive = False
+            if not alive:
+                store.pop(k, None)
+
 
 def register_tables(spark, sf_dir: str) -> None:
     """Register the driver parquet tables as temp views (Spark side of
@@ -244,8 +281,18 @@ def register_tables(spark, sf_dir: str) -> None:
     in ONE task no matter the core count. Spreading the fact tables to
     defaultParallelism up front keeps the expensive generated columns
     parallel — at real scale inputs arrive in thousands of splits and
-    this repartition is a no-op."""
+    this repartition is a no-op.
+
+    Memoized per (session, dir, parquet fingerprint) — see the memo
+    note above; repeated calls from every query are driver-side no-ops
+    until the session changes, the dir changes, or a parquet file under
+    the dir is rewritten."""
     from pathlib import Path
+    _prune_stopped_sessions()
+    fp = _dir_fingerprint(sf_dir)
+    hit = _REGISTERED.get(id(spark))
+    if hit is not None and hit[1] == sf_dir and hit[2] == fp:
+        return
     par = spark.sparkContext.defaultParallelism
     for t in TABLES:
         if not Path(f"{sf_dir}/{t}.parquet").exists():
@@ -259,15 +306,46 @@ def register_tables(spark, sf_dir: str) -> None:
                 and df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
         df.createOrReplaceTempView(t)
+    _REGISTERED[id(spark)] = (spark, sf_dir, fp)
+
+
+def memo_frame(spark, sf_dir, key, build):
+    """Memoize a LAZY generated-input DataFrame per (session, dir, key,
+    parquet fingerprint) — same contract as the spark_view memo: plans
+    only, every action recomputes from the parquet inputs. Used by
+    datagen's WKB fixture builders, whose per-call SQL parse + UDF
+    plan construction is identical every time."""
+    fp = _dir_fingerprint(sf_dir) if sf_dir is not None else ""
+    k = (id(spark), sf_dir, key)
+    hit = _FRAMES.get(k)
+    if hit is not None and hit[0] is spark and hit[1] == fp:
+        return hit[2]
+    df = build()
+    _FRAMES[k] = (spark, fp, df)
+    return df
 
 
 def spark_view(spark, sf_dir: str, name: str):
-    """Materialize one generated CTE tree as a DataFrame (engine input)."""
+    """Materialize one generated CTE tree as a DataFrame (engine input).
+
+    The returned DataFrame is a LAZY analyzed plan memoized per
+    (session, dir, name, parquet fingerprint): building it costs a
+    full SQL parse + analysis of the generated CTE preamble (~0.2-0.3 s
+    of driver time), identical on every call. Every action on the
+    memoized frame still recomputes from the parquet inputs — an
+    analyzed plan binds the file relations, never results."""
     register_tables(spark, sf_dir)
+    fp = _REGISTERED[id(spark)][2]
+    key = (id(spark), sf_dir, name)
+    hit = _VIEWS.get(key)
+    if hit is not None and hit[0] is spark and hit[1] == fp:
+        return hit[2]
     need_pages = name in ("pages", "captures", "points")
     need_bands = name == "bands"
     need_tris = name == "tris"
     pre = preamble("spark", pages=need_pages, bands=need_bands,
                    tris=need_tris,
                    layers=not (need_pages or need_bands or need_tris))
-    return spark.sql(f"{pre} select * from {name}")
+    df = spark.sql(f"{pre} select * from {name}")
+    _VIEWS[key] = (spark, fp, df)
+    return df

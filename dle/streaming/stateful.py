@@ -74,9 +74,16 @@ def parquet_epoch_sink(path: str):
                .write.mode("overwrite").partitionBy("epoch")
                .parquet(path))
         finally:
+            # restore EXACTLY the previous state (ADVICE r6): leaving
+            # 'dynamic' set session-wide would silently flip other
+            # overwrite writes in the same session from full-truncate
+            # to partition-only semantics
             if prev is not None:
                 spark.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", prev)
+            else:
+                spark.conf.unset(
+                    "spark.sql.sources.partitionOverwriteMode")
 
     return sink
 

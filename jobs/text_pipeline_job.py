@@ -117,8 +117,16 @@ def main():
             docs.join(F.broadcast(survivors), "doc_id"),
             eval_docs, n=3, min_shared=3).select("doc_id").persist()
         n_decon = contaminated.count()
+        pre_decon = survivors
         survivors = survivors.join(contaminated, "doc_id",
                                    "left_anti").persist()
+        # release the intermediates (ADVICE r6): the pre-anti-join
+        # frame and the contaminated id list are fully consumed once
+        # the post-decon survivors frame is materialized below —
+        # without this, both stayed cached for the rest of the job
+        survivors.count()
+        pre_decon.unpersist(False)
+        contaminated.unpersist(False)
 
     # 4) stats on survivors only (re-join by key; text never entered
     # the dedup shuffles beyond hashing — byte-identity discipline)

@@ -91,3 +91,29 @@ def test_ann_pq_codeword_exactness(spark):
             ds = [d(cp) for cp in range(qt.PQ_C)]
             assert min(range(qt.PQ_C), key=lambda cp: (ds[cp], cp)) \
                 == c, (m, c, ds)
+
+
+def _plan(df) -> str:
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_ann_topk_exchange_is_k_bounded(spark):
+    """OPTIMIZATION r7 (VERDICT r6 #2): the brute/PQ ANN rankings must
+    NOT shuffle the full corpus x nq score table into nq partitions.
+    On Spark 4 the rank-limit pushdown plans a PARTIAL WindowGroupLimit
+    BELOW the window's Exchange, so each map task ships at most K rows
+    per query — this pins that shape (a regression to an unbounded
+    exchange drops the pre-exchange WindowGroupLimit). In
+    explain('formatted') parents print before children, so the tree
+    order must be Window ... Exchange ... WindowGroupLimit, and the
+    details section must show a Partial-mode row_number limit."""
+    for name in ("ann_cosine_topk", "ann_pq_topk"):
+        df = q.queries()[name](spark, SF)
+        full = _plan(df)
+        plan = full.split("\n\n")[0]  # the numbered tree section
+        iw = plan.index("Window ")
+        ix = plan.index("Exchange ", iw)
+        ig = plan.index("WindowGroupLimit ", ix)
+        assert iw < ix < ig, (name, iw, ix, ig)
+        assert "row_number(), 3, Partial" in full, name
