@@ -30,8 +30,14 @@ from pyspark.sql import DataFrame, functions as F
 # candidate join needs rows).  n=3 matches the near-dup family
 # (queries_text._SHINGLES) so decontamination and dedup agree on what
 # "shared text" means.
-def shingle_expr(n: int = 3, text_col: str = "text") -> str:
-    toks = f"split({text_col}, ' ')"
+def shingle_expr(n: int = 3, text_col: str = "text",
+                 toks: str | None = None) -> str:
+    # Pass ``toks`` = a pre-hoisted token-array COLUMN to avoid
+    # re-splitting the whole text inside the transform lambda (n
+    # splits per shingle — O(tokens^2) character work per doc;
+    # OPTIMIZATION r7, guide §1.2 per-task work). The default inline
+    # split keeps the expression self-contained for ad-hoc use.
+    toks = toks or f"split({text_col}, ' ')"
     parts = ", ".join(f"{toks}[i + {j}]" for j in range(n))
     # self-guarding: Spark's sequence(0, -1) DESCENDS to [0, -1]
     # (it never returns empty), so a < n-token doc would index out of
@@ -88,11 +94,13 @@ def _overlap_pairs(corpus: DataFrame, bench: DataFrame, *, n: int,
     the physical core shared by ``decontaminate`` (per-corpus-doc
     rollup) and ``contamination_report`` (per-bench-doc rollup).
     Broadcast-vs-shuffle dispatch as documented on ``decontaminate``."""
-    sh = shingle_expr(n, text_col)
+    sh = shingle_expr(n, text_col, toks="_toks")
     guard = f"size(split({text_col}, ' ')) >= {n}"
 
     def rows(df: DataFrame, out_id: str) -> DataFrame:
         return (df.where(F.expr(guard))
+                  .withColumn("_toks",
+                              F.expr(f"split({text_col}, ' ')"))
                   .select(F.col(id_col).alias(out_id),
                           F.explode(F.expr(sh)).alias("_sh")))
 

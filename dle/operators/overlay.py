@@ -588,36 +588,57 @@ def planarize(designations: DataFrame, boundary: DataFrame,
         tagged += [(nd + j, wkb.parse_rings(bytes(buf)))
                    for j, buf in enumerate(b_pdf["_bgeom"])]
         faces = K.planarize(tagged, grid)
-        rows = []
+        # COLUMNIZED face assembly (OPTIMIZATION r7 — the r5
+        # tile_geoms_mixed pattern, VERDICT r5 #3, applied here): an
+        # arrangement of n overlapping features yields O(n^2) faces
+        # per cell, and the old path paid pandas .iloc + a Python
+        # dict + a per-face lambda sort for each. Extract the
+        # attribute columns ONCE per cell as numpy arrays, precompute
+        # the (process_order, src_id) sort rank once, and build
+        # column lists — semantics identical (same keys, same
+        # int/str coercions, same skip rule).
+        po = d_pdf["process_order"].to_numpy()
+        src = [str(s) for s in d_pdf["src_id"]]
+        des = [str(s) for s in d_pdf["designation"]]
+        fr = d_pdf["forest_restriction"].to_numpy()
+        og = d_pdf["og_restriction"].to_numpy()
+        mi = d_pdf["mine_restriction"].to_numpy()
+        by_key = sorted(range(nd), key=lambda i: (int(po[i]), src[i]))
+        rank = np.empty(nd, dtype=np.int64)
+        rank[by_key] = np.arange(nd)
+        c_geom, c_des, c_src, c_po = [], [], [], []
+        c_f, c_o, c_m, c_a, c_rx, c_ry = [], [], [], [], [], []
         for f in faces:
-            d_ids = [t for t in f.labels if t < nd]
             if not any(t >= nd for t in f.labels):
                 continue  # face outside land boundary
-            sub = d_pdf.iloc[d_ids]
-            order = sorted(
-                range(len(sub)),
-                key=lambda i: (int(sub["process_order"].iloc[i]),
-                               str(sub["src_id"].iloc[i])))
-            rows.append({
-                "cell": key[0],
-                "geom": wkb.rings_wkb(f.rings),
-                "designation":
-                    [str(sub["designation"].iloc[i]) for i in order],
-                "src_id": [str(sub["src_id"].iloc[i]) for i in order],
-                "process_order":
-                    [int(sub["process_order"].iloc[i]) for i in order],
-                "forest_restriction_max":
-                    int(sub["forest_restriction"].max()) if d_ids else 0,
-                "og_restriction_max":
-                    int(sub["og_restriction"].max()) if d_ids else 0,
-                "mine_restriction_max":
-                    int(sub["mine_restriction"].max()) if d_ids else 0,
-                "area_m2": f.area_m2,
-                "rep_x": f.rep_x,
-                "rep_y": f.rep_y,
-            })
+            d_ids = np.asarray([t for t in f.labels if t < nd],
+                               dtype=np.int64)
+            order = d_ids[np.argsort(rank[d_ids])]
+            c_geom.append(wkb.rings_wkb(f.rings))
+            c_des.append([des[i] for i in order])
+            c_src.append([src[i] for i in order])
+            c_po.append([int(po[i]) for i in order])
+            if len(d_ids):
+                c_f.append(int(fr[d_ids].max()))
+                c_o.append(int(og[d_ids].max()))
+                c_m.append(int(mi[d_ids].max()))
+            else:
+                c_f.append(0)
+                c_o.append(0)
+                c_m.append(0)
+            c_a.append(f.area_m2)
+            c_rx.append(f.rep_x)
+            c_ry.append(f.rep_y)
         telemetry.drain(_acc)
-        return pd.DataFrame(rows) if rows else empty
+        if not c_geom:
+            return empty
+        return pd.DataFrame({
+            "cell": [key[0]] * len(c_geom),
+            "geom": c_geom, "designation": c_des, "src_id": c_src,
+            "process_order": c_po, "forest_restriction_max": c_f,
+            "og_restriction_max": c_o, "mine_restriction_max": c_m,
+            "area_m2": c_a, "rep_x": c_rx, "rep_y": c_ry,
+        })
 
     return (d.groupBy("cell")
              .cogroup(b.groupBy("cell"))

@@ -49,9 +49,24 @@ MINHASH_B = [(2246822519 * (p + 1)) % M31 for p in range(8)]
 
 # Word-3-gram shingle array (distinct), shared by the Jaccard
 # verification join and the shingle-minhash candidate generator.
-_SHINGLES = ("array_distinct(transform(sequence(0, size(split(text, ' '))"
-             " - 3), i -> concat_ws(' ', split(text, ' ')[i],"
-             " split(text, ' ')[i + 1], split(text, ' ')[i + 2])))")
+# OPTIMIZATION r7 (guide §1.2 per-task work): the old expression
+# re-evaluated split(text, ' ') INSIDE the transform lambda — three
+# whole-text splits per shingle, O(tokens^2) character work per doc.
+# The token array is hoisted to its own projection (`_ts`); Catalyst
+# keeps the hoist because the alias is referenced multiple times by a
+# non-cheap expression, so the split runs once per row.
+def _shingles_of(ts: str) -> str:
+    return (f"array_distinct(transform(sequence(0, size({ts}) - 3),"
+            f" i -> concat_ws(' ', {ts}[i], {ts}[i + 1],"
+            f" {ts}[i + 2])))")
+
+
+_SHINGLES = _shingles_of("_ts")
+
+
+def _with_ts(df):
+    """Stamp the hoisted token-array column `_ts` (see _SHINGLES)."""
+    return df.withColumn("_ts", F.expr("split(text, ' ')"))
 
 
 def _minhash_band_rows(spark, shingles: bool = False):
@@ -82,7 +97,7 @@ def minhash_bands_for(df, shingles: bool = False):
     extra = [c for c in df.columns if c not in ("doc_id", "text")]
     if shingles:
         units = _SHINGLES
-        base = df.where(F.expr("size(split(text, ' ')) >= 3"))
+        base = _with_ts(df.where(F.expr("size(split(text, ' ')) >= 3")))
     else:
         units = "split(text, ' ')"
         base = df
@@ -224,8 +239,8 @@ def q_dedup_ngram_jaccard(spark, sf):
     register_tables(spark, sf)
     pairs = _shingle_lsh_pairs(spark)
 
-    base = spark.table("documents").where(
-        F.expr("size(split(text, ' ')) >= 3"))
+    base = _with_ts(spark.table("documents").where(
+        F.expr("size(split(text, ' ')) >= 3")))
     # broadcast joins prune the corpus scan to candidate docs BEFORE
     # the shingle arrays are built (join below the projection), so the
     # shingle HOF runs only for pair members
@@ -1614,9 +1629,12 @@ def q_bpe_train_merges(spark, sf):
         top = tops[0]
         out.append((r, top["pa"], top["pb"], int(top["cnt"])))
         if r < BPE_ROUNDS:
+            # lazy: materializes inside the NEXT round's pair-count
+            # job (no standalone checkpoint job), then later rounds
+            # read the materialized tokens
             cur = cur.select(F.expr(_bpe_merge_expr(
                 "c", _sql_str(top["pa"]), _sql_str(top["pb"])))
-                .alias("c")).localCheckpoint()
+                .alias("c")).localCheckpoint(eager=False)
     return spark.createDataFrame(
         out, "merge_round int, pa string, pb string, cnt bigint")
 
