@@ -390,8 +390,12 @@ def q_url_canonical_dedup(spark, sf):
     expressions; the only shuffle is the canonical-url groupBy with
     map-side partial aggregation — exactly the exact-dedup shape."""
     from . import sqlgen
+    # OPTIMIZATION r7 (guide §5): the four variant branches below each
+    # re-executed the md5-heavy generated pages CTE; one lazy
+    # localCheckpoint computes it once per invocation.
     pages = sqlgen.spark_view(spark, sf, "pages") \
-        .select("page_id", "url", "h64", "hy")
+        .select("page_id", "url", "h64", "hy") \
+        .localCheckpoint(eager=False)
     base = pages.select("page_id", F.col("url").alias("vurl"))
     utm = (pages.where("h64 % 3 = 0")
            .select("page_id",
