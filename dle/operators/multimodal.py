@@ -378,7 +378,8 @@ def decode_stats(media: DataFrame) -> DataFrame:
                 "doc_id": pdf["doc_id"], "kind": pdf["kind"],
                 "n_units": ns, "v_sum": vs, "kv_sum": kvs})
 
-    return media.mapInPandas(
+    # guide §4.1: drop width/height/n_frames before the Arrow boundary
+    return media.select("doc_id", "kind", "media").mapInPandas(
         run, "doc_id bigint, kind string, n_units bigint, "
              "v_sum bigint, kv_sum bigint")
 
@@ -412,7 +413,8 @@ def extract_features(media: DataFrame, use_decoder: bool = False
                 "doc_id": pdf["doc_id"], "kind": pdf["kind"],
                 "n_bytes": nbytes, "bytes_sha": shas, "feat": feats})
 
-    return media.mapInPandas(
+    # guide §4.1: only the three consumed columns cross to Python
+    return media.select("doc_id", "kind", "media").mapInPandas(
         run, "doc_id bigint, kind string, n_bytes int, "
              "bytes_sha string, feat array<float>")
 

@@ -39,42 +39,52 @@ def block_size(depth: int, res: float) -> int:
 
 
 def rasterize_fold(layers_tiled: DataFrame, depth: int,
-                   res: float) -> DataFrame:
+                   res: float,
+                   planes: tuple[str, ...] = ("forest", "og", "mine"),
+                   ) -> DataFrame:
     """B1+B2 in one pass: burn every tiled feature into its cell's block
     and fold with precedence. Input must have columns cell, geom,
-    process_order, forest/og/mine_restriction."""
+    process_order, and ``<p>_restriction`` for every requested plane.
+
+    ``planes`` selects which restriction planes to fold IN ADDITION to
+    the always-computed designation plane (OPTIMIZATION r7, guide
+    §1.2/§4.1: a consumer that reads one plane shouldn't pay the
+    per-feature max-fold — or the Arrow transfer — of the other three).
+    Default keeps the full four-plane output/schema."""
     n = block_size(depth, res)
+    bad = [p for p in planes if p not in ("forest", "og", "mine")]
+    if bad:
+        raise ValueError(f"unknown planes {bad}")
+    schema = ("cell string, nx int, ny int, designation binary"
+              + "".join(f", {p} binary" for p in planes))
 
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         cell = pdf["cell"].iloc[0]
         x0, y0, _, _ = cell_bounds(cell)
         desig = np.full((n, n), NODATA, dtype=np.uint8)
-        planes = {c: np.zeros((n, n), dtype=np.uint8)
-                  for c in ("forest", "og", "mine")}
-        order = np.lexsort((pdf.index.to_numpy(),
-                            pdf["process_order"].to_numpy()))
+        grids = {p: np.zeros((n, n), dtype=np.uint8) for p in planes}
+        # columnized accessors: one .to_numpy() per column per batch,
+        # plain array indexing in the per-feature loop (no .iloc)
+        pos = pdf["process_order"].to_numpy()
+        geoms = pdf["geom"].to_numpy()
+        lvls = [(grids[p], pdf[f"{p}_restriction"].to_numpy())
+                for p in planes]
+        order = np.lexsort((pdf.index.to_numpy(), pos))
         for i in order:
-            rings = wkb.parse_rings(bytes(pdf["geom"].iloc[i]))
+            rings = wkb.parse_rings(bytes(geoms[i]))
             m = K.rasterize_mask(rings, x0, y0, res, n, n)
             if not m.any():
                 continue
-            po = int(pdf["process_order"].iloc[i])
-            desig[m & (desig == NODATA)] = po
-            for c, col in (("forest", "forest_restriction"),
-                           ("og", "og_restriction"),
-                           ("mine", "mine_restriction")):
-                lvl = int(pdf[col].iloc[i])
-                planes[c][m] = np.maximum(planes[c][m], lvl)
-        return pd.DataFrame([{
-            "cell": cell, "nx": n, "ny": n,
-            "designation": desig.tobytes(),
-            "forest": planes["forest"].tobytes(),
-            "og": planes["og"].tobytes(),
-            "mine": planes["mine"].tobytes(),
-        }])
+            desig[m & (desig == NODATA)] = int(pos[i])
+            for g, lv in lvls:
+                g[m] = np.maximum(g[m], int(lv[i]))
+        row = {"cell": cell, "nx": n, "ny": n,
+               "designation": desig.tobytes()}
+        for p in planes:
+            row[p] = grids[p].tobytes()
+        return pd.DataFrame([row])
 
-    return layers_tiled.groupBy("cell").applyInPandas(
-        per_cell, RASTER_SCHEMA)
+    return layers_tiled.groupBy("cell").applyInPandas(per_cell, schema)
 
 
 def raster_value_counts(raster: DataFrame, plane: str = "designation",
@@ -84,6 +94,12 @@ def raster_value_counts(raster: DataFrame, plane: str = "designation",
     distributed bincount (map-side per cell, one tiny shuffle).
     ``covered_only`` restricts to pixels claimed by some designation
     (designation plane != nodata)."""
+    cols = ["cell", "nx", "ny", plane]
+    if covered_only and "designation" not in cols:
+        cols.append("designation")
+    # guide §4.1: mapInPandas is opaque to column pruning — an explicit
+    # select keeps unread plane blobs out of the Arrow transfer
+    raster = raster.select(*cols)
 
     def counts(it):
         for pdf in it:
@@ -124,6 +140,7 @@ def zonal_stats(raster: DataFrame, value_of,
     lookup; here an arithmetic stand-in, no raster I/O in sandbox).
     Map-side per-cell bincount partials, one tiny shuffle — the same
     distributed shape as raster_value_counts."""
+    raster = raster.select("cell", "nx", "ny", plane)  # guide §4.1
 
     def per(it):
         for pdf in it:

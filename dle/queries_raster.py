@@ -32,14 +32,20 @@ _rect_wkb = F.pandas_udf(
     BinaryType())
 
 
-def _raster(spark, sf):
+def _raster(spark, sf, planes=()):
+    """OPTIMIZATION r7: each gate requests only the restriction planes
+    it reads (guide §1.2/§4.1) — the designation plane is always folded;
+    unrequested planes skip both the per-feature max-fold in
+    rasterize_fold and the restriction columns through the tiler's
+    Arrow boundary. Results are per-plane independent (pinned by
+    tests/test_raster.py::test_plane_subset_matches_full)."""
     sqlgen.register_tables(spark, sf)
     lay = sqlgen.spark_view(spark, sf, "layers").withColumn(
         "geom", _rect_wkb("x0", "y0", "x1", "y1"))
-    tiled = tile_geoms(
-        lay.select("process_order", "forest_restriction",
-                   "og_restriction", "mine_restriction", "geom"), DEPTH)
-    return rasterize_fold(tiled, DEPTH, RES)
+    cols = (["process_order"]
+            + [f"{p}_restriction" for p in planes] + ["geom"])
+    tiled = tile_geoms(lay.select(*cols), DEPTH)
+    return rasterize_fold(tiled, DEPTH, RES, planes=planes)
 
 
 def q_raster_precedence_pixels(spark, sf):
@@ -78,8 +84,8 @@ def o_raster_precedence_pixels():
 def q_raster_forest_pixels(spark, sf):
     """Forest-restriction plane histogram over covered pixels (max
     semantics, designatedlands.py:942-953)."""
-    counts = raster_value_counts(_raster(spark, sf), "forest",
-                                 covered_only=True)
+    counts = raster_value_counts(_raster(spark, sf, planes=("forest",)),
+                                 "forest", covered_only=True)
     return counts.select(F.col("value").alias("forest_level"),
                          "n_pixels")
 

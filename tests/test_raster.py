@@ -73,3 +73,32 @@ def test_fold_precedence_and_write(spark, tmp_path):
     for k, v in counts.items():
         if k != 255:
             assert mh[k] == v
+
+
+def test_plane_subset_matches_full(spark):
+    """r7 plane-subset optimization: folding only the requested planes
+    yields byte-identical blocks for those planes (and the designation
+    plane) vs the full four-plane fold — planes are independent."""
+    lay = datagen.layers_poly(spark, SF)
+    tiled_full = tile_geoms(
+        lay.select("process_order", "forest_restriction",
+                   "og_restriction", "mine_restriction", "geom"), 3)
+    full = {r["cell"]: r for r in
+            rasterize_fold(tiled_full, 3, 8192.0).collect()}
+    # designation-only fold (zonal/precedence gates' shape)
+    tiled_d = tile_geoms(lay.select("process_order", "geom"), 3)
+    dsub = rasterize_fold(tiled_d, 3, 8192.0, planes=())
+    assert dsub.columns == ["cell", "nx", "ny", "designation"]
+    dmap = {r["cell"]: r for r in dsub.collect()}
+    assert set(dmap) == set(full)
+    for cell, r in dmap.items():
+        assert bytes(r["designation"]) == bytes(full[cell]["designation"])
+    # single restriction plane (forest gate's shape)
+    tiled_f = tile_geoms(
+        lay.select("process_order", "forest_restriction", "geom"), 3)
+    fsub = rasterize_fold(tiled_f, 3, 8192.0, planes=("forest",))
+    assert fsub.columns == ["cell", "nx", "ny", "designation", "forest"]
+    for r in fsub.collect():
+        assert bytes(r["forest"]) == bytes(full[r["cell"]]["forest"])
+    with pytest.raises(ValueError):
+        rasterize_fold(tiled_f, 3, 8192.0, planes=("bogus",))
