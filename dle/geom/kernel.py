@@ -157,7 +157,7 @@ def _crossing_xs(x0, y0, x1, y1) -> np.ndarray:
     return np.concatenate(out) if out else np.zeros(0)
 
 
-@dataclass
+@dataclass(slots=True)
 class Trap:
     xa: float
     xb: float
@@ -214,38 +214,66 @@ def _sweep(tagged: list[tuple[int, list]], grid: float,
         idx = idx[order]
         m = len(idx)
         if labels:
+            # OPTIMIZATION r7 (vectorized run emission): the old path
+            # walked every boundary interval in Python, built a label
+            # tuple via np.flatnonzero for EACH (O(active) per slab)
+            # and constructed a Trap per candidate run — on the qa
+            # world 96% of candidates are zero-height (coincident
+            # band edges) and were discarded right after construction
+            # (1.34M built, 52k kept). Runs, the degeneracy filter and
+            # the four y values are computed as whole-slab array ops;
+            # Python now touches only EMITTED traps. Run boundaries,
+            # label values, emission order and the area>0 sign test
+            # are bit-identical to the scalar loop (same IEEE ops,
+            # multiplied by the positive 0.5*(xb-xa) factor only).
+            if m < 2:
+                continue
             mat = np.zeros((m, ntags), dtype=np.int64)
             mat[np.arange(m), tg[idx]] = w[idx]
             cum = np.cumsum(mat, axis=0)
-            labs = [tuple(np.flatnonzero(cum[i]).tolist())
-                    for i in range(m - 1)]
-            covered = np.array([len(lb) > 0 for lb in labs] + [False])
-        else:
-            wa = np.cumsum(np.where(tg[idx] == 0, w[idx], 0))
-            wb = np.cumsum(np.where(tg[idx] == 1, w[idx], 0))
-            covered = np.zeros(m, dtype=bool)
-            covered[: m - 1] = predicate(wa[: m - 1], wb[: m - 1])
+            nz = cum != 0
+            c = nz[: m - 1].any(axis=1)
+            same = (nz[1: m - 1] == nz[: m - 2]).all(axis=1)
+            brk = np.empty(m - 1, dtype=bool)
+            brk[0] = True
+            brk[1:] = ~c[:-1] | ~same
+            starts = np.flatnonzero(c & brk)
+            if not len(starts):
+                continue
+            term = np.empty(m - 1, dtype=bool)
+            term[-1] = True
+            term[:-1] = ~c[1:] | ~same
+            ends = np.flatnonzero(c & term)
+            eb, et = idx[starts], idx[ends + 1]
+            yab = y0[eb] + (xa - x0[eb]) * slope[eb]
+            ybb = y0[eb] + (xb - x0[eb]) * slope[eb]
+            yat = y0[et] + (xa - x0[et]) * slope[et]
+            ybt = y0[et] + (xb - x0[et]) * slope[et]
+            pos = (yat + ybt) - (yab + ybb) > 0
+            for k in np.flatnonzero(pos):
+                traps.append(Trap(
+                    xa, xb, yab[k], ybb[k], yat[k], ybt[k],
+                    tuple(np.flatnonzero(cum[starts[k]]).tolist())))
+            continue
+        wa = np.cumsum(np.where(tg[idx] == 0, w[idx], 0))
+        wb = np.cumsum(np.where(tg[idx] == 1, w[idx], 0))
+        covered = np.zeros(m, dtype=bool)
+        covered[: m - 1] = predicate(wa[: m - 1], wb[: m - 1])
         i = 0
         while i < m - 1:
             if not covered[i]:
                 i += 1
                 continue
             j = i
-            if labels:
-                while j + 1 < m - 1 and covered[j + 1] \
-                        and labs[j + 1] == labs[i]:
-                    j += 1
-            else:
-                while j + 1 < m - 1 and covered[j + 1]:
-                    j += 1
+            while j + 1 < m - 1 and covered[j + 1]:
+                j += 1
             eb, et = idx[i], idx[j + 1]
             tr = Trap(
                 xa, xb,
                 y0[eb] + (xa - x0[eb]) * slope[eb],
                 y0[eb] + (xb - x0[eb]) * slope[eb],
                 y0[et] + (xa - x0[et]) * slope[et],
-                y0[et] + (xb - x0[et]) * slope[et],
-                labs[i] if labels else ())
+                y0[et] + (xb - x0[et]) * slope[et])
             if tr.area_units() > 0:
                 traps.append(tr)
             i = j + 1
@@ -689,11 +717,13 @@ def planarize(tagged: list[tuple[int, list]], grid: float = 0.1,
     comps = defaultdict(list)
     for i in range(n):
         comps[find(i)].append(i)
+    # one area_units() per trap (was 2x: the sum and the max key)
+    areas = [t.area_units() for t in traps]
     faces = []
     for ids in comps.values():
         ts = [traps[i] for i in ids]
-        a = sum(t.area_units() for t in ts) * grid * grid
-        big = max(ts, key=lambda t: t.area_units())
+        a = sum(areas[i] for i in ids) * grid * grid
+        big = traps[max(ids, key=areas.__getitem__)]
         rx = 0.5 * (big.xa + big.xb) * grid
         ry = 0.25 * (big.ya_b + big.yb_b + big.ya_t + big.yb_t) * grid
         rings = _assemble(ts, grid) if with_rings else []
