@@ -303,10 +303,13 @@ def _assemble(traps: list[Trap], grid: float) -> list:
             segs[(p0, p1)] += 1
 
     bounds: dict[float, list] = defaultdict(list)
-    for t in traps:
-        xa, xb = _q(t.xa), _q(t.xb)
-        ya_b, yb_b = _q(t.ya_b), _q(t.yb_b)
-        ya_t, yb_t = _q(t.ya_t), _q(t.yb_t)
+    # OPTIMIZATION r7: quantize all six trap coords in ONE vectorized
+    # pass instead of six numpy-scalar _q calls per trap (same IEEE
+    # ops elementwise; .tolist() round-trips float64 exactly)
+    qarr = np.rint(np.array(
+        [(t.xa, t.xb, t.ya_b, t.yb_b, t.ya_t, t.yb_t) for t in traps],
+        dtype=np.float64) * _Q) / _Q
+    for xa, xb, ya_b, yb_b, ya_t, yb_t in qarr.tolist():
         add((xa, ya_b), (xb, yb_b))        # bottom, +x (interior above)
         add((xb, yb_t), (xa, ya_t))        # top, -x (interior below)
         bounds[xa].append((ya_b, ya_t, +1))  # opens at xa
@@ -319,8 +322,10 @@ def _assemble(traps: list[Trap], grid: float) -> list:
         events: dict[float, list[int]] = defaultdict(lambda: [0, 0])
         for ylo, yhi, side in ivals:
             s = 0 if side < 0 else 1  # 0: covered on left, 1: on right
-            events[_q(ylo)][s] += 1
-            events[_q(yhi)][s] -= 1
+            # ylo/yhi are already quantized above; _Q is a power of
+            # two, so _q is exactly idempotent — no re-quantize
+            events[ylo][s] += 1
+            events[yhi][s] -= 1
         lc = rc = 0
         ys = sorted(events)
         for y0v, y1v in zip(ys, ys[1:]):
