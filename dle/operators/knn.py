@@ -90,14 +90,117 @@ def knn_join_rects(points: DataFrame, rects: DataFrame, k: int = 3,
                    px: str = "px", py: str = "py",
                    point_keys: list[str] | None = None) -> DataFrame:
     """Broadcast brute-force kNN: every point against the (small)
-    feature table; returns point keys + feat_id + d2 + rank 1..k."""
+    feature table; returns point keys + feat_id + d2 + rank 1..k.
+
+    OPTIMIZATION r7 (guide §4.2/§8): the original crossJoin + window
+    form materialized points x features ROWS in the JVM (495k x 5k =
+    2.5G rows at sf0.1) and locally sorted them below the partial
+    rank limit — ~100 GB of sort spill, 90+ s. The decision needs only
+    the 40-byte feature tuple, so the feature table (dimension-sized
+    by this operator's contract) ships as a plain numpy broadcast and
+    each Arrow batch computes exact top-k per point vectorized —
+    the score matrix lives only chunk-at-a-time in numpy and nothing
+    point x feature sized is ever materialized as rows. Distances,
+    tiebreaks and ranks are bit-identical to the window form:
+    the same float64 ops as _d2 then truncating bigint cast, ranking
+    by the strictly-unique combined key d2 * n_features + feat_rank
+    == (d2 asc, feat_id asc)."""
+    import numpy as np
+    import pandas as pd
+
     point_keys = point_keys or ["page_id", "cand_i"]
-    r = F.broadcast(rects.select("feat_id", "x0", "y0", "x1", "y1"))
-    scored = points.crossJoin(r).select(
-        *point_keys, "feat_id", _d2(px, py).alias("d2"))
-    w = Window.partitionBy(*point_keys).orderBy("d2", "feat_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    feats = (rects.select("feat_id", "x0", "y0", "x1", "y1")
+             .orderBy("feat_id").collect())  # dimension-sized
+    fid = np.array([r["feat_id"] for r in feats], dtype=np.int64)
+    fx0 = np.array([r["x0"] for r in feats], dtype=np.float64)
+    fy0 = np.array([r["y0"] for r in feats], dtype=np.float64)
+    fx1 = np.array([r["x1"] for r in feats], dtype=np.float64)
+    fy1 = np.array([r["y1"] for r in feats], dtype=np.float64)
+    nf = len(fid)
+    bc = points.sparkSession.sparkContext.broadcast(
+        (fid, fx0, fy0, fx1, fy1))
+
+    pk_types = {f.name: f.dataType.simpleString()
+                for f in points.schema.fields}
+    feat_t = rects.schema["feat_id"].dataType.simpleString()
+    out_schema = ", ".join(
+        [f"`{c}` {pk_types[c]}" for c in point_keys]
+        + [f"`feat_id` {feat_t}", "`d2` bigint", "`rank` int"])
+    _np_int = {"int": np.int32, "bigint": np.int64,
+               "smallint": np.int16, "tinyint": np.int8}
+
+    def topk(it):
+        fid, fx0, fy0, fx1, fy1 = bc.value
+        kk = min(k, nf)
+        colidx = np.arange(nf, dtype=np.int64)
+        # combined (d2, feat_rank) key fits int64 for any d2 the
+        # coordinate domain can produce; guarded anyway
+        key_cap = (np.iinfo(np.int64).max // max(nf, 1)) - nf
+        chunk = max(1, 4_000_000 // max(nf, 1))
+        for pdf in it:
+            n = len(pdf)
+            if n == 0 or nf == 0:
+                continue
+            pxs = pdf[px].to_numpy(dtype=np.float64)
+            pys = pdf[py].to_numpy(dtype=np.float64)
+            reps, fsel, d2sel, ranks = [], [], [], []
+            # preallocated chunk buffers, all ops in place: these
+            # kernels are memory-bandwidth bound at 32 concurrent
+            # workers, so every avoided (B x F) temporary is wall time
+            dx = np.empty((min(chunk, n), nf))
+            dy = np.empty_like(dx)
+            tmp = np.empty_like(dx)
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                b = e - s
+                dxv, dyv, tmpv = dx[:b], dy[:b], tmp[:b]
+                pc = pxs[s:e, None]
+                np.subtract(fx0[None, :], pc, out=dxv)
+                np.subtract(pc, fx1[None, :], out=tmpv)
+                np.maximum(dxv, tmpv, out=dxv)
+                np.maximum(dxv, 0.0, out=dxv)
+                pc = pys[s:e, None]
+                np.subtract(fy0[None, :], pc, out=dyv)
+                np.subtract(pc, fy1[None, :], out=tmpv)
+                np.maximum(dyv, tmpv, out=dyv)
+                np.maximum(dyv, 0.0, out=dyv)
+                np.multiply(dxv, dxv, out=dxv)
+                np.multiply(dyv, dyv, out=dyv)
+                np.add(dxv, dyv, out=dxv)          # dxv = d2 (float64)
+                d2 = dxv.astype(np.int64)
+                if d2.max(initial=0) > key_cap:  # never at map scale
+                    sel = np.stack([
+                        np.lexsort((colidx, row))[:kk] for row in d2])
+                    d2s = np.take_along_axis(d2, sel, axis=1)
+                else:
+                    d2 *= nf                       # in-place combined
+                    d2 += colidx[None, :]          # key (d2, feat_rank)
+                    if kk < nf:
+                        part = np.argpartition(d2, kk - 1,
+                                               axis=1)[:, :kk]
+                        sel = np.take_along_axis(
+                            part, np.argsort(np.take_along_axis(
+                                d2, part, axis=1), axis=1), axis=1)
+                    else:
+                        sel = np.argsort(d2, axis=1)
+                    # recover exact d2 from the key: (key - rank)/nf
+                    d2s = np.take_along_axis(d2, sel, axis=1)
+                    d2s -= sel
+                    d2s //= nf
+                reps.append(np.repeat(np.arange(s, e), kk))
+                fsel.append(sel.ravel())
+                d2sel.append(d2s.ravel())
+                ranks.append(np.tile(np.arange(1, kk + 1), b))
+            rep = np.concatenate(reps)
+            res = pdf.iloc[rep][point_keys].reset_index(drop=True)
+            res["feat_id"] = fid[np.concatenate(fsel)].astype(
+                _np_int.get(feat_t, np.int64))
+            res["d2"] = np.concatenate(d2sel)
+            res["rank"] = np.concatenate(ranks).astype(np.int32)
+            yield res
+
+    return points.select(*point_keys, px, py).mapInPandas(
+        topk, out_schema)
 
 
 def knn_join_pruned(points: DataFrame, rects: DataFrame, k: int = 3,
