@@ -1021,8 +1021,14 @@ def _topk_with_fallback(qs, cs, cand, k=ANN_K):
     flip ranks). Per-query candidate sets are collision-bounded, so the
     collected set is small by construction."""
     from pyspark.sql.window import Window
+    # OPTIMIZATION r7 (guide §5, the house >1-consumer pattern):
+    # csets feeds BOTH the eligible-pairs explode and the fallback
+    # anti-join, so the whole candidate subtree (scan-side argmax /
+    # band signatures + candidate join + collect_set) executed twice
+    # per invocation; the nq-row checkpoint computes it once.
     csets = cand.groupBy("query_id").agg(
-        F.collect_set("vec_id").alias("cset"))
+        F.collect_set("vec_id").alias("cset")).localCheckpoint(
+        eager=False)
     pairs_lsh = (csets.where(F.size("cset") >= k)
                  .select("query_id", F.explode("cset").alias("vec_id")))
     fb_q = (qs.select("query_id")
@@ -1063,7 +1069,8 @@ def q_ann_lsh_topk(spark, sf):
     emb = spark.table("embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))")
         .alias("v"))
-    sig = _band_sig_rows(spark, emb)
+    # sig feeds the query AND corpus band sides (r7 >1-consumer rule)
+    sig = _band_sig_rows(spark, emb).localCheckpoint(eager=False)
     qs = emb.where("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
     cs = emb.where("vec_id >= 5")
@@ -1505,7 +1512,8 @@ def q_dedup_embedding_cosine(spark, sf):
     emb = spark.table("embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))")
         .alias("v"))
-    bandrows = _band_sig_rows(spark, emb)
+    # self-joined: signatures computed once, not per join side (r7)
+    bandrows = _band_sig_rows(spark, emb).localCheckpoint(eager=False)
     pairs = (bandrows.alias("a").join(
         bandrows.alias("b"),
         (F.col("a.band") == F.col("b.band"))
