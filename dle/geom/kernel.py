@@ -255,8 +255,38 @@ def _sweep(tagged: list[tuple[int, list]], grid: float,
                     xa, xb, yab[k], ybb[k], yat[k], ybt[k],
                     tuple(np.flatnonzero(cum[starts[k]]).tolist())))
             continue
+        # predicate path — runs merge across ALL consecutive covered
+        # intervals (no label test). Hybrid emission: the vectorized
+        # form wins on fat slabs (1.4x at 4000-feature unions, where
+        # salted dissolve groups live) but loses to the scalar loop on
+        # the small active sets typical of per-(cell, key) dissolve
+        # groups (measured crossover ~48 active edges).
+        if m < 2:
+            continue
         wa = np.cumsum(np.where(tg[idx] == 0, w[idx], 0))
         wb = np.cumsum(np.where(tg[idx] == 1, w[idx], 0))
+        if m >= 48:
+            c = predicate(wa[: m - 1], wb[: m - 1])
+            brk = np.empty(m - 1, dtype=bool)
+            brk[0] = True
+            brk[1:] = ~c[:-1]
+            starts = np.flatnonzero(c & brk)
+            if not len(starts):
+                continue
+            term = np.empty(m - 1, dtype=bool)
+            term[-1] = True
+            term[:-1] = ~c[1:]
+            ends = np.flatnonzero(c & term)
+            eb, et = idx[starts], idx[ends + 1]
+            yab = y0[eb] + (xa - x0[eb]) * slope[eb]
+            ybb = y0[eb] + (xb - x0[eb]) * slope[eb]
+            yat = y0[et] + (xa - x0[et]) * slope[et]
+            ybt = y0[et] + (xb - x0[et]) * slope[et]
+            pos = (yat + ybt) - (yab + ybb) > 0
+            for k in np.flatnonzero(pos):
+                traps.append(Trap(xa, xb, yab[k], ybb[k],
+                                  yat[k], ybt[k]))
+            continue
         covered = np.zeros(m, dtype=bool)
         covered[: m - 1] = predicate(wa[: m - 1], wb[: m - 1])
         i = 0
