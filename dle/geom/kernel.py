@@ -339,6 +339,16 @@ def _assemble(traps: list[Trap], grid: float) -> list:
     qarr = np.rint(np.array(
         [(t.xa, t.xb, t.ya_b, t.yb_b, t.ya_t, t.yb_t) for t in traps],
         dtype=np.float64) * _Q) / _Q
+    # ROBUSTNESS (r7, found by the conservation fuzz): a proper
+    # crossing whose float x lands within 2^-21 of a slab boundary
+    # creates a sub-quantum sliver slab; its trap has ~1e-15 area (so
+    # it passes the sweep's area>0 test) but quantizes to ZERO width
+    # here, and its degenerate bottom/top segments masquerade as
+    # verticals that break ring chains (the dropped-fragment path).
+    # Dropping the whole sliver trap — segments AND vertical-boundary
+    # events — restores the neighbors' correct topology at that x and
+    # loses only the sub-quantum area (audit tolerance is 2e-3).
+    qarr = qarr[qarr[:, 0] != qarr[:, 1]]
     for xa, xb, ya_b, yb_b, ya_t, yb_t in qarr.tolist():
         add((xa, ya_b), (xb, yb_b))        # bottom, +x (interior above)
         add((xb, yb_t), (xa, ya_t))        # top, -x (interior below)

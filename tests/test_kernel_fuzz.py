@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from dle.geom import kernel as K
 
@@ -61,6 +61,14 @@ def test_difference_conserves_sweep_area(a, b):
 
 @given(soup, soup)
 @settings(max_examples=300, deadline=None)
+@example(
+    # r7 regression pin: a proper crossing whose float x lands within
+    # 2^-21 of the slab boundary at x=16 used to emit a sub-quantum
+    # sliver trap whose zero-quantized-width segments broke 5 ring
+    # chains (_assemble now drops sliver traps before stitching)
+    a=[_ring([(0, 0), (1, 10), (23, 0)])],
+    b=[_ring([(16, 0), (16, 1), (9, 7), (20, 1), (0, 0)])],
+)
 def test_intersection_conserves_sweep_area(a, b):
     K.pop_dropped_fragments()
     out = K.boolean(a, b, "and", grid=1.0)
